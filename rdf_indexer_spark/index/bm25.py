@@ -1,0 +1,325 @@
+"""BM25 top-k retrieval: exhaustive scorer + block-max WAND (Q-9).
+
+Similarity pinned per SURVEY.md §7.4 — Lucene ``BM25Similarity`` defaults,
+exact form (no norm quantization):
+
+    idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+    score(d,q) = Σ_{t∈q} idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))
+    k1 = 1.2, b = 0.75; ties broken (score desc, doc_id asc)
+
+**Determinism discipline** (SURVEY.md §4.3.6): per-term idf values are
+computed ONCE driver-side and injected as literals into both paths; per-doc
+summation runs in ascending-term order in both paths (the exhaustive path
+sorts the contribution array before folding). The two paths therefore agree
+to float ulps and the test suite asserts rank + score identity.
+
+**The two paths**:
+
+* ``score_exhaustive`` — declarative DataFrame plan over the ``postings``
+  table: broadcast the (tiny) query-term idf table, compute contributions
+  JVM-side, fold per doc, ``orderBy(score desc, doc_id).limit(k)``. This is
+  the oracle and the path whose physical plan Catalyst fully owns (predicate
+  pushdown prunes the posting scan to the query's terms).
+
+* ``search_wand`` — document-at-a-time iteration over the packed blocks with
+  block-max pruning (Ding & Suel, SIGIR 2011). Blocks for the query's terms
+  are pruned by the parquet ``term`` predicate (a handful of rows per term),
+  fetched, and walked with numpy decode — the classic top-k engine shape.
+  At cluster scale the same cursor walk runs inside ``mapPartitions`` over
+  term-bucketed block partitions feeding a driver-side k-way merge; the
+  sandbox corpus fits the driver, so the fetch is a collect.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analyzer import tokenize
+from .build import IndexPaths
+from .codec import unpack_block
+
+K1 = 1.2
+B = 0.75
+
+
+class IndexReader:
+    """Query-side handle on an index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        row = spark.read.parquet(self.paths.stats).collect()[0]
+        self.n_docs = row["n_docs"]
+        self.avgdl = float(row["avgdl"])
+
+    # -- statistics --------------------------------------------------------
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self.paths.termstats)
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        dfs = self.term_dfs(terms)
+        return {
+            t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+
+    # -- exhaustive scorer (DataFrame plan) ---------------------------------
+
+    def score_exhaustive(self, query: str, k: int | None = 10) -> DataFrame:
+        """Declarative BM25 over the postings table; k=None scores all."""
+        terms = sorted(set(tokenize(query)))
+        idfs = self.idfs(terms)
+        if not idfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf_map = F.create_map(
+            *[F.lit(x) for t, v in sorted(idfs.items()) for x in (t, float(v))]
+        )
+        postings = self.spark.read.parquet(os.path.join(self.paths.postings, "*"))
+        contrib = (
+            F.element_at(idf_map, F.col("term"))
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / F.lit(self.avgdl))
+            )
+        )
+        scored = (
+            postings.filter(F.col("term").isin(list(idfs)))
+            .select("doc_id", "term", contrib.alias("contrib"))
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    # -- block-max WAND ------------------------------------------------------
+
+    def fetch_blocks(self, terms: list[str]) -> dict[str, list]:
+        rows = (
+            self.spark.read.parquet(os.path.join(self.paths.blocks, "*"))
+            .filter(F.col("term").isin(terms))
+            .select("term", "first_doc_id", "last_doc_id", "n", "max_tf",
+                    "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+            .collect()
+        )
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        for t in by_term:
+            by_term[t].sort(key=lambda r: r["first_doc_id"])
+        return by_term
+
+    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = sorted(set(tokenize(query)))
+        idfs = self.idfs(terms)
+        if not idfs:
+            return []
+        blocks = self.fetch_blocks(list(idfs))
+        cursors = [
+            _Cursor(t, idfs[t], blocks[t], self.avgdl)
+            for t in sorted(idfs) if t in blocks
+        ]
+        return _wand_topk(cursors, k)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        hits = self.search_wand(query, k)
+        return self.spark.createDataFrame(
+            [(int(d), float(s), r + 1) for r, (d, s) in enumerate(hits)],
+            "doc_id long, score double, rank int",
+        )
+
+
+def _norm(dl: float, avgdl: float) -> float:
+    return K1 * (1.0 - B + B * dl / avgdl)
+
+
+@dataclass
+class _Cursor:
+    """Posting cursor over one term's sorted block list with lazy decode."""
+
+    term: str
+    idf: float
+    blocks: list
+    avgdl: float
+    bi: int = 0
+    pos: int = 0
+    ids: np.ndarray | None = None
+    tfs: np.ndarray | None = None
+    dls: np.ndarray | None = None
+    exhausted: bool = field(default=False)
+
+    def __post_init__(self):
+        self.global_ub = max(
+            self._bound(b["max_tf"], b["dl_min"]) for b in self.blocks
+        )
+        self._load_block()
+
+    def _bound(self, max_tf: int, dl_min: int) -> float:
+        return self.idf * max_tf / (max_tf + _norm(dl_min, self.avgdl))
+
+    def _load_block(self) -> None:
+        if self.bi >= len(self.blocks):
+            self.exhausted = True
+            self.ids = None
+            return
+        b = self.blocks[self.bi]
+        self.ids, self.tfs, self.dls = unpack_block(
+            bytes(b["ids_bin"]), bytes(b["tfs_bin"]), bytes(b["dls_bin"])
+        )
+        self.pos = 0
+
+    @property
+    def cur_doc(self) -> int:
+        if self.exhausted:
+            return 1 << 62
+        return int(self.ids[self.pos])
+
+    def block_ub(self) -> float:
+        if self.exhausted:
+            return 0.0
+        b = self.blocks[self.bi]
+        return self._bound(b["max_tf"], b["dl_min"])
+
+    def block_last(self) -> int:
+        if self.exhausted:
+            return 1 << 62
+        return self.blocks[self.bi]["last_doc_id"]
+
+    def contribution(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.idf * tf / (tf + _norm(dl, self.avgdl))
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self.bi += 1
+            self._load_block()
+
+    def next_geq(self, target: int) -> None:
+        """Skip blocks whose last_doc_id < target (no decode), then binary
+        search within the landing block."""
+        if self.exhausted:
+            return
+        if self.blocks[self.bi]["last_doc_id"] < target:
+            lo, hi = self.bi + 1, len(self.blocks)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if self.blocks[mid]["last_doc_id"] < target:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            self.bi = lo
+            self._load_block()
+            if self.exhausted:
+                return
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):
+            self.bi += 1
+            self._load_block()
+
+
+def _wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND: exact top-k under (score desc, doc_id asc).
+
+    Pruning uses strict ``ub < θ`` so boundary ties are always evaluated —
+    exactness over marginal pruning (SURVEY.md §4.3.3 correctness guard).
+    """
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -math.inf
+
+    def offer(doc: int, score: float) -> None:
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        live = [c for c in live if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc)
+        # find pivot: smallest prefix whose UB sum can beat θ
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.global_ub
+            # ">=" (not ">") so exact-tie candidates at θ are still evaluated
+            # — required for rank-identity under the doc_id tie-break
+            if acc >= theta():
+                pivot_idx = i
+                break
+        if pivot_idx == -1:
+            break  # no remaining doc can enter the heap
+        pivot_doc = live[pivot_idx].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            # block-max refinement: per-block bounds at the pivot
+            block_acc = 0.0
+            for c in live:
+                if c.cur_doc > pivot_doc:
+                    break
+                c.next_geq(pivot_doc)  # ensures current block contains ≥ pivot
+                if not c.exhausted and c.cur_doc <= c.block_last():
+                    block_acc += c.block_ub()
+            if len(heap) >= k and block_acc < theta():
+                # skip: docs in [pivot, target) live only in the pivot
+                # cursors (all others sit at ≥ next_cur) and are bounded by
+                # block_acc < θ while ≤ every pivot cursor's block_last —
+                # so the jump target is min(shallowest block boundary + 1,
+                # next non-pivot cursor position). (Ding & Suel 2011, BMW.)
+                boundary = min(
+                    c.block_last() for c in live if c.cur_doc <= pivot_doc
+                )
+                next_cur = min(
+                    (c.cur_doc for c in live if c.cur_doc > pivot_doc),
+                    default=1 << 62,
+                )
+                target = min(boundary + 1, next_cur)
+                for c in live:
+                    if c.cur_doc <= pivot_doc:
+                        c.next_geq(target)
+                continue
+            # full evaluation, summing in ascending-term order
+            score = 0.0
+            for c in sorted(
+                (c for c in live if c.cur_doc == pivot_doc),
+                key=lambda c: c.term,
+            ):
+                score += c.contribution()
+            offer(pivot_doc, score)
+            for c in live:
+                if c.cur_doc == pivot_doc:
+                    c.advance()
+        else:
+            # advance the laggard with the largest upper bound (classic pick)
+            laggards = [c for c in live if c.cur_doc < pivot_doc]
+            mover = max(laggards, key=lambda c: c.global_ub)
+            mover.next_geq(pivot_doc)
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
