@@ -1,0 +1,214 @@
+"""COMPARE mode (J-3..J-8): diff a re-indexed archive against a production
+index, field-by-field.
+
+The reference implements this as a hand-rolled streaming merge join over two
+uri-sorted paged Solr scans with driver-side hash maps
+(``RDFCompare.java:153-273,396-434``). Here it is one declarative job:
+
+  unpivot both sides to (uri, field, value) → full-outer join on (uri, field)
+  → when-chain classification → error DataFrames.
+
+No paging, no N+1; Catalyst picks the join strategy and AQE handles skew.
+Message strings mirror ``RDFCompare.java:443-530,560-658``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# RDFCompare.java:474-476 — never compared
+SKIP_FIELDS = ["score", "date_updated", "date_created", "_version_"]
+# RDFCompare.java:698-710
+IGNORED_NEW = ["date_created", "date_updated"]
+IGNORED_OLD = ["batch"]
+
+
+def to_solr_string(values: Column) -> Column:
+    """Array field → ' | '-joined string (RDFCompare.toSolrString:537-552)."""
+    return F.concat_ws(" | ", values)
+
+
+def remove_extra_whitespace(col: Column) -> Column:
+    """RDFCompare.removeExtraWhiteSpace:684-691, order exact."""
+    x = F.regexp_replace(col, "\t", " ")
+    x = F.regexp_replace(x, r"\s+", " ")
+    x = F.regexp_replace(x, " \n", "\n")
+    x = F.regexp_replace(x, "\n ", "\n")
+    return F.regexp_replace(x, r"\n+", " ")
+
+
+def processed_text(col: Column) -> Column:
+    """Typographic dedupe + whitespace (RDFCompare.java:668-682).
+
+    The ``””``→``””`` replacement is a no-op in the reference (faithful
+    quirk — kept as such)."""
+    x = F.regexp_replace(col, "““", "“")
+    x = F.regexp_replace(x, "††", "†")
+    x = F.regexp_replace(x, "—+", "—")
+    return remove_extra_whitespace(x)
+
+
+def _unpivot(docs: DataFrame, side: str) -> DataFrame:
+    """(uri, fields map) → (uri, field, <side>_val) long form."""
+    return docs.select(
+        "uri", F.explode("fields").alias("field", "_values")
+    ).select(
+        "uri", "field", to_solr_string(F.col("_values")).alias(f"{side}_val")
+    )
+
+
+def compare_archives(
+    new_docs: DataFrame, old_docs: DataFrame, *, is_pages: bool = False
+) -> dict[str, DataFrame]:
+    """Full compare: returns dict of result DataFrames:
+
+    - ``errors``       — field-level diffs (uri, message)
+    - ``txt_errors``   — text-specific diffs / flag inconsistencies
+    - ``skipped``      — uris in old but not re-indexed (J-6)
+    - ``added``        — uris newly introduced (J-6)
+    """
+    new_uris = new_docs.select("uri").distinct()
+    old_uris = old_docs.select("uri").distinct()
+    skipped = old_uris.join(new_uris, "uri", "left_anti")     # old − new
+    added = new_uris.join(old_uris, "uri", "left_anti")       # new − old
+
+    nl = _unpivot(new_docs, "new")
+    ol = _unpivot(old_docs, "old")
+    # only docs present on both sides are field-compared (J-3 matched set)
+    matched = new_uris.join(old_uris, "uri")
+    j = (
+        nl.join(ol, ["uri", "field"], "full_outer")
+        .join(matched, "uri")  # restrict to matched docs
+    )
+
+    non_text = j.filter(F.col("field") != "text")
+    new_only = non_text.filter(
+        F.col("old_val").isNull() & ~F.col("field").isin(IGNORED_NEW)
+    ).select(
+        "uri",
+        F.concat(
+            F.col("field"), F.lit(" "),
+            F.regexp_replace("new_val", "\n", " / "),
+            F.lit(" introduced in reindexing."),
+        ).alias("message"),
+    )
+    old_only = non_text.filter(
+        F.col("new_val").isNull() & ~F.col("field").isin(IGNORED_OLD)
+    ).select(
+        "uri",
+        F.concat(
+            F.lit("Key not reindexed: "), F.col("field"), F.lit("="),
+            F.substring(F.col("old_val"), 1, 100),
+        ).alias("message"),
+    )
+
+    both = non_text.filter(
+        F.col("new_val").isNotNull() & F.col("old_val").isNotNull()
+        & ~F.col("field").isin(SKIP_FIELDS)
+        & (F.col("new_val") != F.col("old_val"))
+        # whitespace-normalized re-check (RDFCompare.java:482-484)
+        & (remove_extra_whitespace(F.col("new_val"))
+           != remove_extra_whitespace(F.col("old_val")))
+    )
+    short = both.filter(F.length("old_val") <= 30).select(
+        "uri",
+        F.concat(
+            F.col("field"), F.lit(" mismatched: \""),
+            F.regexp_replace("new_val", "\n", " / "), F.lit("\" (new) vs. \""),
+            F.regexp_replace("old_val", "\n", " / "), F.lit("\" (old)"),
+        ).alias("message"),
+    )
+    long_ = both.filter(F.length("old_val") > 30).select(
+        "uri",
+        F.concat(
+            F.col("field"), F.lit(" mismatched: length= "),
+            F.length("new_val").cast("string"), F.lit(" (new) vs. "),
+            F.length("old_val").cast("string"), F.lit(" (old)"),
+        ).alias("message"),
+    )
+    errors = new_only.unionByName(old_only).unionByName(short).unionByName(long_)
+
+    # ---- text path (J-5) -------------------------------------------------
+    txt = j.filter(F.col("field") == "text")
+    new_txt, old_txt = F.col("new_val"), F.col("old_val")
+    if is_pages:
+        flag_errors = txt.filter(new_txt.isNull() | old_txt.isNull()).select(
+            "uri",
+            F.when(new_txt.isNull(), F.concat(
+                F.col("uri"), F.lit(": is page data, but is missing page text in the new index.")
+            )).otherwise(F.concat(
+                F.col("uri"), F.lit(": is page data, but is missing page text in the pages core.")
+            )).alias("message"),
+        )
+    else:
+        disappeared = txt.filter(new_txt.isNull() & old_txt.isNotNull()).select(
+            "uri",
+            F.concat(
+                F.col("uri"),
+                F.lit(":text field has disappeared from the new index. (old text size = "),
+                F.length(old_txt).cast("string"),
+            ).alias("message"),
+        )
+        appeared = txt.filter(new_txt.isNotNull() & old_txt.isNull()).select(
+            "uri",
+            F.concat(F.col("uri"), F.lit(":text field has appeared in the new index.")).alias("message"),
+        )
+        flag_errors = disappeared.unionByName(appeared)
+
+    txt_mismatch = txt.filter(
+        new_txt.isNotNull() & old_txt.isNotNull()
+        & (new_txt != old_txt)
+        & (processed_text(new_txt) != processed_text(old_txt))
+    ).select(
+        "uri",
+        F.concat(
+            F.lit("==== "), F.col("uri"), F.lit(" mismatch at col "),
+            _first_diff_pos(processed_text(new_txt), processed_text(old_txt)).cast("string"),
+            F.lit(": (new "), F.length(processed_text(new_txt)).cast("string"),
+            F.lit(") vs (old "), F.length(processed_text(old_txt)).cast("string"),
+            F.lit(")"),
+        ).alias("message"),
+    )
+    txt_errors = flag_errors.unionByName(txt_mismatch)
+
+    return {
+        "errors": errors,
+        "txt_errors": txt_errors,
+        "skipped": skipped,
+        "added": added,
+    }
+
+
+def _first_diff_pos(a: Column, b: Column) -> Column:
+    """Position of the first differing character (StringUtils.indexOfDifference
+    equivalent), native: length of the longest common prefix."""
+    n = F.least(F.length(a), F.length(b))
+    mism = F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y)
+    first = F.array_position(mism, True)
+    return F.when(first > 0, first - 1).otherwise(n)
+
+
+def text_size_stats(docs: DataFrame, windows=(2, 5, 10, 100, 1000, 10000)) -> DataFrame:
+    """J-8: totals / max / docs-with-text + max total text size over windows
+    of k consecutive docs in uri order (RDFCompare.java:119-145,164-296)."""
+    text_len = F.length(to_solr_string(F.element_at(F.col("fields"), F.lit("text"))))
+    base = docs.select("uri", F.coalesce(text_len, F.lit(0)).alias("tlen"))
+    w = Window.orderBy("uri")
+    numbered = base.withColumn("rn", F.row_number().over(w) - 1)
+    aggs = [
+        F.sum("tlen").alias("total_text_bytes"),
+        F.max("tlen").alias("max_text_bytes"),
+        F.sum((F.col("tlen") > 0).cast("long")).alias("docs_with_text"),
+        F.count("*").alias("docs"),
+    ]
+    out = numbered.agg(*aggs)
+    for k in windows:
+        wk = (
+            numbered.groupBy((F.col("rn") / k).cast("long").alias("w"))
+            .agg(F.sum("tlen").alias("s"))
+            .agg(F.max("s").alias(f"max_window_{k}"))
+        )
+        out = out.crossJoin(wk)
+    return out

@@ -1,0 +1,431 @@
+"""The engine's query surface over the driver testdata tables, used by
+``__spark_entry__.py`` — one callable per implemented operator family from
+SURVEY.md §2, each designed so Catalyst owns the physical plan (filters and
+projections reach the parquet scan; joins broadcast where one side is small;
+aggregations get map-side partial combine).
+
+Float-valued results are rounded in BOTH the Spark plan and the DuckDB oracle
+so cross-engine value hashes match; counts are cast to bigint to align
+schemas.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .years import (
+    century_col, decade_col, half_century_col, quarter_century_col,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Relational surface (reference §2.F / §2.E / §2.D)
+# --------------------------------------------------------------------------
+
+def q_archive_filter(spark, sf):
+    """Q-2: primary equality filter, partition-prunable."""
+    return load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+def q_fq_and_or(spark, sf):
+    """Q-3: fq AND / OR constraint combinations."""
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        ((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        | (F.col("l_quantity") < 3)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+
+def q_point_lookup(spark, sf):
+    """Q-7: uri-style point lookup."""
+    return load(spark, sf, "orders").filter(F.col("o_orderkey") == 500).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+def q_pagination(spark, sf):
+    """Q-5/Q-6: stable sort + pagination (start=100, rows=50)."""
+    return (
+        load(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def q_projection(spark, sf):
+    """Q-4: field-list projection (column pruning reaches the scan)."""
+    return load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+
+
+def q_delete_by_query(spark, sf):
+    """A-12/Q-8: purge-by-query, expressed as the surviving set's count."""
+    return load(spark, sf, "orders").filter(
+        ~(F.col("o_orderstatus") == "F")
+    ).agg(F.count("*").cast("bigint").alias("remaining"))
+
+
+def q_agg_summary(spark, sf):
+    """G-5..G-8 aggregation family (TPC-H Q1 shape): map-side partial agg."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_error_summary(spark, sf):
+    """G-8: distinct-count error-report stats."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def q_derived_dates(spark, sf):
+    """D-5: decade/quarter/half/century derivations from 4-digit years."""
+    year4 = F.date_format("o_orderdate", "yyyy")
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            year4.alias("year4"),
+            decade_col(year4).alias("decade"),
+            quarter_century_col(year4).alias("quarter_century"),
+            half_century_col(year4).alias("half_century"),
+            century_col(year4).alias("century"),
+        )
+    )
+
+
+def q_first_last(spark, sf):
+    """G-1/G-2: first/last-value-per-group semantics via explicit ordering."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn_a", F.row_number().over(w))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn_a") == 1, F.col("o_orderkey"))).alias("first_order"),
+            F.min(F.when(F.col("rn_d") == 1, F.col("o_orderkey"))).alias("last_order"),
+        )
+    )
+
+
+def q_window_running(spark, sf):
+    """J-8: running max/sum windows over an ordered stream."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.max("value").over(w), 2).alias("running_max"),
+        F.count("*").over(w).cast("bigint").alias("running_n"),
+    )
+
+
+def q_full_outer_compare(spark, sf):
+    """J-3/J-4: full-outer diff join + when-chain classification."""
+    c = load(spark, sf, "customer").select(F.col("c_custkey").alias("key")).distinct()
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    j = c.withColumn("in_c", F.lit(1)).join(
+        o.withColumn("in_o", F.lit(1)), "key", "full_outer"
+    )
+    status = (
+        F.when(F.col("in_c").isNotNull() & F.col("in_o").isNotNull(), "matched")
+        .when(F.col("in_c").isNotNull(), "not reindexed")
+        .otherwise("introduced")
+    )
+    return j.select("key", status.alias("status"))
+
+
+def q_except_all(spark, sf):
+    """J-6: set-difference (skipped-doc test)."""
+    c = load(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    return c.exceptAll(o)
+
+
+def q_resolve_join(spark, sf):
+    """J-1 shape: reference resolution as a broadcast equi-join (nation →
+    region inlined, like isPartOf → parent doc JSON)."""
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+def q_multi_join_topk(spark, sf):
+    """TPC-H Q3 shape: 3-way join → agg → deterministic top-k."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_tumbling(spark, sf):
+    """Streaming-shaped tumbling-window aggregation (batch equivalent of the
+    structured-streaming plan; see streaming/)."""
+    win = F.date_trunc("hour", F.col("ts"))
+    return (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_format(win, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fulltext / index surface over `documents` (the engine's centerpiece)
+# --------------------------------------------------------------------------
+
+def _doc_tokens(spark, sf):
+    from .textops import tokens_col
+
+    return load(spark, sf, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+
+
+def q_token_count(spark, sf):
+    """T-11 tokenizer: per-doc token counts (JVM-native)."""
+    return _doc_tokens(spark, sf).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+
+
+def q_postings(spark, sf):
+    """The (term, doc_id, tf) posting relation for a fixed term set."""
+    terms = ["data", "spark", "query"]
+    return (
+        _doc_tokens(spark, sf)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def q_term_df(spark, sf):
+    """Document frequency per term (posting-list lengths)."""
+    return (
+        _doc_tokens(spark, sf)
+        .select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+
+
+def q_corpus_stats(spark, sf):
+    """N, avgdl, total tokens — the BM25 statistics table."""
+    dl = _doc_tokens(spark, sf).select(F.size("toks").alias("dl"))
+    return dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("dl"), 4).alias("avgdl"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+
+
+BM25_QUERY_TERMS = ["window", "shuffle", "join"]
+K1 = 1.2
+B = 0.75
+
+
+def q_bm25_scores(spark, sf):
+    """Q-9: exact BM25 scoring (k1=1.2, b=0.75) for a fixed query, every
+    matching doc — the full-text relevance centerpiece, cross-checked against
+    a from-scratch SQL restatement in DuckDB."""
+    toks = _doc_tokens(spark, sf)
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = toks.agg(
+        F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    df = (
+        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup groups: content-hash groupBy."""
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.count("*").cast("bigint").alias("dup_count"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def q_quality(spark, sf):
+    """Quality-scoring features (length/punct/stopword ratios)."""
+    from .textops import quality_features
+
+    return quality_features(load(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "punct_ratio", "stopword_ratio", "unique_ratio",
+    )
+
+
+def q_ann_cosine(spark, sf):
+    """Brute-force cosine against the vec_id=0 embedding (exact scores)."""
+    from .similarity import cosine_scores
+
+    emb = load(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_scores(emb, [float(x) for x in qvec]).select(
+        "vec_id", F.round("cosine", 5).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-only operators (no SQL-expressible oracle → rows-only checks;
+# each has its own pytest oracle instead)
+# --------------------------------------------------------------------------
+
+def q_minhash_neardup(spark, sf):
+    from .textops import minhash_near_duplicates
+
+    return minhash_near_duplicates(load(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf):
+    from .textops import simhash_near_duplicates
+
+    return simhash_near_duplicates(load(spark, sf, "documents"), max_hamming=8)
+
+
+def q_langid(spark, sf):
+    from .textops import language_id
+
+    return language_id(load(spark, sf, "documents")).select(
+        "doc_id", "lang_pred", "lang_score"
+    )
+
+
+def q_fingerprints(spark, sf):
+    from .textops import fingerprints
+
+    return fingerprints(load(spark, sf, "documents")).select(
+        "doc_id", F.size("fingerprints").cast("bigint").alias("n_fingerprints")
+    )
+
+
+def q_ann_lsh(spark, sf):
+    from .similarity import lsh_index, lsh_topk
+
+    emb = load(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = lsh_index(emb, dim=len(qvec))
+    return lsh_topk(idx, qvec, dim=len(qvec), k=10)
+
+
+def q_rdf_documents(spark, sf):
+    """RDF parse layer end-to-end on the reference fixtures (rows-only;
+    field-level goldens live in tests/test_pipeline.py)."""
+    from .fields import assemble_documents
+    from .rdfxml import parse_files_df
+
+    rows = []
+    for fn in ("bad_nines_element.rdf", "bad_date.rdf", "role_test.rdf"):
+        path = f"/root/reference/test_data/{fn}"
+        if os.path.exists(path):
+            with open(path, encoding="utf-8", errors="replace") as f:
+                rows.append((fn, f.read()))
+    files_df = spark.createDataFrame(rows, ["file", "content"])
+    docs, _, _ = assemble_documents(parse_files_df(files_df))
+    return docs.select(
+        "file", "uri", F.size(F.map_keys("fields")).alias("n_fields")
+    )
+
+
+def q_rdf_errors(spark, sf):
+    from .fields import assemble_documents
+    from .rdfxml import parse_files_df
+
+    rows = []
+    for fn in ("bad_nines_element.rdf", "bad_date.rdf", "invalid_xml.rdf",
+               "role_test.rdf"):
+        path = f"/root/reference/test_data/{fn}"
+        if os.path.exists(path):
+            with open(path, encoding="utf-8", errors="replace") as f:
+                rows.append((fn, f.read()))
+    files_df = spark.createDataFrame(rows, ["file", "content"])
+    _, errors, _ = assemble_documents(parse_files_df(files_df))
+    return errors

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, same contract:
+
+* ``cosine_topk`` — brute-force baseline: broadcast the query vector,
+  JVM-native dot product (``zip_with`` + ``aggregate``), exact top-k.
+  At 100 TB this is a full scan but a perfectly parallel, shuffle-free one
+  (only the top-k limit reduces).
+
+* ``lsh_topk`` — scale path: random-hyperplane LSH (Charikar 2002). Vectors
+  are bucketed by an nbit sign signature; queries probe their own bucket plus
+  multi-probe neighbors (1-bit flips), scoring only the candidates. Recall
+  is tunable via n_tables/n_bits; the plan is an equi-join on (table,
+  signature) — candidate generation never goes O(n²).
+
+An IVF variant (k-means coarse quantizer) is the next refinement; the LSH
+path already demonstrates the bucketed-ANN plan shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_scores(
+    df: DataFrame, query_vec: list[float],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine similarity of every row against ``query_vec`` (native)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = _dot(F.col(vec_col), q) / (F.lit(qn) * _norm(F.col(vec_col)))
+    return df.select(F.col(id_col).alias("vec_id"), cos.alias("cosine"))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    return (
+        cosine_scores(df, query_vec, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 29) -> np.ndarray:
+    rng = np.random.default_rng(seed + 1000 * table)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign signature as a long, computed natively: bit b set iff v·h_b > 0."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in planes[b]])) > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(planes.shape[0])
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_index(
+    df: DataFrame, dim: int, n_tables: int = 4, n_bits: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(table, signature, vec_id, embedding) bucket table — on a cluster this
+    is written partitioned by (table, pmod(signature, P)) so a probe prunes
+    to a handful of files."""
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, t)
+        parts.append(
+            df.select(
+                F.lit(t).alias("table"),
+                _signature_col(F.col(vec_col), planes).alias("signature"),
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_topk(
+    index_df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+    n_tables: int = 4, n_bits: int = 12, multiprobe: bool = True,
+) -> DataFrame:
+    """Probe the query's buckets (plus 1-bit-flip neighbors) and rank the
+    candidates by exact cosine."""
+    probes = []
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, t)
+        sig = 0
+        for b in range(n_bits):
+            if float(planes[b] @ qv) > 0:
+                sig |= 1 << b
+        probes.append((t, sig))
+        if multiprobe:
+            for b in range(n_bits):
+                probes.append((t, sig ^ (1 << b)))
+    probe_df = index_df.sparkSession.createDataFrame(
+        probes, "table int, signature long"
+    ).distinct()
+    candidates = index_df.join(
+        F.broadcast(probe_df), ["table", "signature"]
+    ).select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    return cosine_topk(candidates, query_vec, k)

@@ -1,0 +1,205 @@
+"""Index-structure invariants + rank-exactness (SURVEY.md §5.2, §7.6):
+
+- postings sorted / strictly increasing doc_id within (term, block)
+- Σ tf over a doc == dl; df == posting count per term
+- block-max bound dominates every member contribution
+- per-row sha256(content) equality source ↔ doc store
+- exhaustive BM25 ≡ block-max WAND on every query (rank + score identity)
+- resume: interrupted build resumes without recomputing finished partitions
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+K_QUERIES = [
+    "needle",                      # rare term
+    "the",                         # hot term
+    "needle the",                  # mixed
+    "alpha beta gamma",            # multi-term with shared docs
+    "zzznothing",                  # zero hits
+    "alpha",
+    "beta gamma",
+]
+
+
+def _synth_docs(n=400, seed=7):
+    """Deterministic Zipfian corpus with planted needles."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(600)] + ["the", "alpha", "beta", "gamma"]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    rows = []
+    for i in range(n):
+        ln = int(rng.integers(20, 300))
+        words = rng.choice(vocab, size=ln, p=weights)
+        text = " ".join(words)
+        if i % 97 == 0:
+            text += " needle"
+        rows.append((i, text))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    from rdf_indexer_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("idx"))
+    docs = spark.createDataFrame(_synth_docs(), ["doc_id", "text"])
+    build_index(spark, docs, out, num_buckets=3, resume=False)
+    return out
+
+
+def test_postings_invariants(spark, index_dir):
+    from pyspark.sql import functions as F
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings", "*"))
+    docstore = spark.read.parquet(os.path.join(index_dir, "docstore", "*"))
+
+    # Σ tf per doc == dl
+    sums = postings.groupBy("doc_id").agg(F.sum("tf").alias("s"))
+    joined = sums.join(docstore, "doc_id")
+    assert joined.filter(F.col("s") != F.col("dl")).count() == 0
+
+    # df consistency
+    termstats = spark.read.parquet(os.path.join(index_dir, "termstats"))
+    df_check = postings.groupBy("term").count().join(termstats, "term")
+    assert df_check.filter(F.col("count") != F.col("df")).count() == 0
+
+    # dl carried in postings matches docstore
+    assert postings.join(docstore.select("doc_id", F.col("dl").alias("dl2")),
+                         "doc_id").filter(F.col("dl") != F.col("dl2")).count() == 0
+
+
+def test_sha256_invariant(spark, index_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(_synth_docs(), ["doc_id", "text"])
+    src = docs.select("doc_id", F.sha2("text", 256).alias("sha_src"))
+    store = spark.read.parquet(os.path.join(index_dir, "docstore", "*"))
+    j = src.join(store, "doc_id")
+    assert j.count() == docs.count()
+    assert j.filter(F.col("sha_src") != F.col("content_sha256")).count() == 0
+
+
+def test_block_invariants(spark, index_dir):
+    from rdf_indexer_spark.index.codec import BLOCK_SIZE, unpack_block
+
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks", "*")).collect()
+    assert blocks
+    for blk in blocks:
+        ids, tfs, dls = unpack_block(bytes(blk["ids_bin"]), bytes(blk["tfs_bin"]),
+                                     bytes(blk["dls_bin"]))
+        assert len(ids) == blk["n"] <= BLOCK_SIZE
+        assert list(ids) == sorted(set(int(x) for x in ids))  # strictly increasing
+        assert ids[0] == blk["first_doc_id"] and ids[-1] == blk["last_doc_id"]
+        assert tfs.max() == blk["max_tf"]
+        assert dls.min() == blk["dl_min"]
+
+
+def test_block_max_dominates(spark, index_dir):
+    from rdf_indexer_spark.index.bm25 import _norm
+    from rdf_indexer_spark.index.codec import unpack_block
+
+    row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    avgdl = float(row["avgdl"])
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks", "*")).limit(200).collect()
+    for blk in blocks:
+        _, tfs, dls = unpack_block(bytes(blk["ids_bin"]), bytes(blk["tfs_bin"]),
+                                   bytes(blk["dls_bin"]))
+        bound = blk["max_tf"] / (blk["max_tf"] + _norm(blk["dl_min"], avgdl))
+        member = tfs / (tfs + np.array([_norm(d, avgdl) for d in dls]))
+        assert (member <= bound + 1e-12).all()
+
+
+@pytest.mark.parametrize("query", K_QUERIES)
+def test_wand_equals_exhaustive(spark, index_dir, query):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    for k in (1, 10, 100):
+        exhaustive = [(r["doc_id"], r["score"])
+                      for r in reader.score_exhaustive(query, k).collect()]
+        wand = reader.search_wand(query, k)
+        assert [d for d, _ in wand] == [d for d, _ in exhaustive], (query, k)
+        for (d1, s1), (d2, s2) in zip(wand, exhaustive):
+            assert s1 == pytest.approx(s2, rel=1e-12, abs=1e-12)
+
+
+def test_zero_hit_query(spark, index_dir):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    assert reader.search_wand("zzznothing", 10) == []
+    assert reader.score_exhaustive("zzznothing", 10).count() == 0
+
+
+def test_resume_without_recompute(spark, tmp_path):
+    """Kill after partition 1 of 3; resume must keep finished partition
+    outputs byte-identical and untouched (mtime) and produce a final index
+    identical to a clean build."""
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.manifest import Manifest
+
+    docs = spark.createDataFrame(_synth_docs(n=120), ["doc_id", "text"])
+
+    clean_dir = str(tmp_path / "clean")
+    build_index(spark, docs, clean_dir, num_buckets=3, resume=False)
+
+    # interrupted build: inject a failure in the block packer for bucket 1
+    out = str(tmp_path / "resumed")
+    import rdf_indexer_spark.index.build as B
+
+    original = B._pack_term_group
+    manifest = Manifest(os.path.join(out, "manifest"))
+    B._pack_term_group = _fail_after(original, fail_on_bucket=1)
+    try:
+        with pytest.raises(Exception):
+            build_index(spark, docs, out, num_buckets=3, resume=True)
+    finally:
+        B._pack_term_group = original
+
+    # exactly one bucket committed
+    done = [r for r in manifest.records() if r["stage"] == "build"]
+    assert len(done) == 1
+
+    mtimes_before = _tree_mtimes(os.path.join(out, "blocks"))
+
+    build_index(spark, docs, out, num_buckets=3, resume=True)
+
+    # finished partition untouched
+    mtimes_after = _tree_mtimes(os.path.join(out, "blocks"))
+    for k, v in mtimes_before.items():
+        assert mtimes_after[k] == v, f"recomputed completed partition file {k}"
+
+    # final index equals clean build
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    r1 = IndexReader(spark, clean_dir)
+    r2 = IndexReader(spark, out)
+    assert r1.n_docs == r2.n_docs
+    assert r1.avgdl == r2.avgdl
+    for q in ("the", "needle", "alpha beta"):
+        assert r1.search_wand(q, 20) == r2.search_wand(q, 20)
+
+
+def _fail_after(original, fail_on_bucket):
+    """Wrap the pack kernel to fail once postings from bucket>=1 appear
+    (doc_id >= 40 given 120 docs / 3 buckets)."""
+
+    def wrapped(pdf):
+        if (pdf["doc_id"] >= 40).any():
+            raise RuntimeError("injected failure")
+        return original(pdf)
+
+    return wrapped
+
+
+def _tree_mtimes(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
