@@ -1,0 +1,9 @@
+"""Scalar/array function library (SURVEY.md §2.G/§2.C): the clean chain,
+tokenizer, year parsing — pure ground truth + native/vectorized forms."""
+from ..analyzer import (
+    clean_field_value, clean_field_value_col, clean_html, clean_raw_text,
+    normalize_whitespace, normalize_whitespace_col, strip_escape_sequences,
+    strip_unknown_utf8, tokenize, tokenize_col, tokenize_udf,
+)
+from ..cleaners import REGISTRY, clean_with_registry
+from ..years import parse_years, parse_years_udf, derived_date_fields

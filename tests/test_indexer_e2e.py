@@ -1,0 +1,146 @@
+"""End-to-end: INDEX mode over RDF fixtures + the north-rule code-corpus
+path (input_hint shape), querying back through WAND."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_index_rdf_corpus_end_to_end(spark, tmp_path):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.indexer import index_rdf_corpus
+
+    rdf = """<?xml version="1.0" encoding="utf-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:collex="http://www.collex.org/schema#"
+         xmlns:role="http://www.loc.gov/loc.terms/relators/"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <rdf:Description rdf:about="http://t/doc{i}">
+    <collex:archive>test</collex:archive>
+    <collex:federation>NINES</collex:federation>
+    <dc:title>Document {i}</dc:title>
+    <role:AUT>Author {i}</role:AUT>
+    <dc:date>185{j}</dc:date>
+    <collex:genre>Poetry</collex:genre>
+    <collex:discipline>Literature</collex:discipline>
+    <dc:type>Codex</dc:type>
+    <rdfs:seeAlso rdf:resource="http://t/doc{i}.html"/>
+    <collex:text>{text}</collex:text>
+  </rdf:Description>
+</rdf:RDF>"""
+    texts = [
+        "alpha beta gamma shared words",
+        "alpha alpha alpha repeated term document",
+        "gamma delta epsilon unrelated content",
+        "needle in this one only",
+    ]
+    # rdf:Description carries no rdf:type; add a typed element instead
+    rdf = rdf.replace("rdf:Description", "collex:work")
+    files = [
+        (f"doc{i}.rdf", rdf.replace("{i}", str(i)).replace("{j}", str(i))
+         .replace("{text}", t))
+        for i, t in enumerate(texts)
+    ]
+    files_df = spark.createDataFrame(files, ["file", "content"])
+    idx = str(tmp_path / "rdfidx")
+    errors, summary = index_rdf_corpus(
+        spark, files_df, idx, archive_name="test", num_buckets=2, resume=False
+    )
+    # collex:work is not in the whitelist → 1 error per file; otherwise valid
+    msgs = [e.message for e in errors.collect()]
+    assert all("Collex does not support this property" in m or m for m in msgs)
+    assert summary["rows"] == 4
+
+    reader = IndexReader(spark, idx)
+    hits = reader.search_wand("needle", 5)
+    assert len(hits) == 1
+    # doc ids keyed by uri order within hash buckets; map back via docstore
+    store = spark.read.parquet(f"{idx}/docstore/*").collect()
+    by_id = {r["doc_id"]: r["uri"] for r in store}
+    assert by_id[hits[0][0]] == "http://t/doc3"
+
+    hits = reader.search_wand("alpha", 5)
+    assert len(hits) == 2
+    assert by_id[hits[0][0]] == "http://t/doc1"  # tf=3 beats tf=1
+
+
+def test_index_code_corpus_input_hint_shape(spark, tmp_path):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.indexer import index_code_corpus
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        content = " ".join(
+            rng.choice(["def", "class", "import", "license", "return", f"sym{i}"],
+                       size=30)
+        )
+        rows.append((
+            f"org{i % 3}/repo{i % 5}", f"src/m{i}.py",
+            hashlib.sha1(str(i).encode()).hexdigest() + "0" * 0, "python",
+            content,
+        ))
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    idx = str(tmp_path / "codeidx")
+    summary = index_code_corpus(spark, df, idx, num_buckets=3, resume=False)
+    assert summary["rows"] == 60
+
+    # per-row sha256 invariant source ↔ doc store on the natural key
+    store = spark.read.parquet(f"{idx}/docstore/*")
+    src = df.select("repo", "path", "commit", F.sha2("content", 256).alias("sha_src"))
+    j = store.join(src, ["repo", "path", "commit"])
+    assert j.count() == 60
+    assert j.filter(F.col("sha_src") != F.col("content_sha256")).count() == 0
+
+    # doc ids dense + deterministic
+    ids = sorted(r["doc_id"] for r in store.collect())
+    assert ids == list(range(60))
+
+    reader = IndexReader(spark, idx)
+    assert len(reader.search_wand("license", 10)) == 10
+
+
+def test_docid_determinism_across_partitioning(spark):
+    from rdf_indexer_spark.index.docids import assign_doc_ids
+
+    rows = [(f"u{i:03d}", f"t{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, ["uri", "text"]).repartition(2)
+    b = spark.createDataFrame(list(reversed(rows)), ["uri", "text"]).repartition(7)
+    ida = {r["uri"]: r["doc_id"] for r in assign_doc_ids(a, ["uri"], 16).collect()}
+    idb = {r["uri"]: r["doc_id"] for r in assign_doc_ids(b, ["uri"], 16).collect()}
+    assert ida == idb
+    assert sorted(ida.values()) == list(range(100))
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Structured Streaming twin of q_events_tumbling, availableNow trigger."""
+    import os
+
+    from rdf_indexer_spark.streaming import windowed_event_counts
+
+    src = os.path.join("/root/testdata/sf0.001", "events.parquet")
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("wincounts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    # batch equivalence (modulo the watermark-open final windows)
+    from rdf_indexer_spark.queries import q_events_tumbling
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in q_events_tumbling(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v

@@ -1,0 +1,54 @@
+"""ANN: brute-force cosine correctness vs numpy; LSH recall vs brute force."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(200)]
+    # plant a near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    rows.append((200, (v0 + 0.01 * rng.standard_normal(16)).tolist()))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_matches_numpy(spark, vecs):
+    from rdf_indexer_spark.similarity import cosine_topk
+
+    rows, df = vecs
+    q = rows[0][1]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, k=5).collect()]
+    mat = np.array([r[1] for r in rows])
+    qv = np.array(q)
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    expected = sorted(range(len(rows)), key=lambda i: (-cos[i], i))[:5]
+    assert [d for d, _ in got] == expected
+    for (d, s) in got:
+        assert s == pytest.approx(cos[d], rel=1e-9)
+    assert got[0][0] == 0 and got[1][0] == 200  # self, then planted near-dup
+
+
+def test_lsh_recall(spark, vecs):
+    from rdf_indexer_spark.similarity import cosine_topk, lsh_index, lsh_topk
+
+    rows, df = vecs
+    q = rows[0][1]
+    idx = lsh_index(df, dim=16, n_tables=6, n_bits=8)
+    got = [r["vec_id"] for r in lsh_topk(idx, q, dim=16, k=10,
+                                         n_tables=6, n_bits=8).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    # the two strongest neighbors must be found; overall recall ≥ 0.5
+    assert got[0] == 0
+    assert 200 in got
+    assert len(set(got) & set(brute)) >= 5
+
+
+def test_lsh_deterministic(spark, vecs):
+    from rdf_indexer_spark.similarity import lsh_index
+
+    _, df = vecs
+    a = sorted(tuple(r) for r in lsh_index(df, dim=16).select("table", "signature", "vec_id").collect())
+    b = sorted(tuple(r) for r in lsh_index(df, dim=16).select("table", "signature", "vec_id").collect())
+    assert a == b

@@ -1,0 +1,120 @@
+"""Training-data pipeline operators: pytest oracles for the Spark-only ops
+(minhash/simhash/ngram-jaccard/fingerprints/langid)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup of 0
+        (3, "completely different content about spark sql engines"),
+        (4, "le chat est sur la table et il est content"),           # fr-ish
+        (5, "der hund ist nicht mit der katze und das ist gut"),     # de-ish
+        (6, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (7, "spark sql engines process completely different content"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    from rdf_indexer_spark.textops import dedup_keep_canonical, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["canonical_id"] == 0
+    assert groups[0]["member_ids"] == [0, 1]
+
+    kept = dedup_keep_canonical(docs)
+    assert kept.count() == 7
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    from rdf_indexer_spark.textops import minhash_near_duplicates
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_near_duplicates(docs, jaccard_threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0      # exact dup → all sigs equal
+    assert any(p in pairs for p in [(0, 2), (1, 2)])     # near dup found
+    assert (3, 4) not in pairs                            # unrelated not paired
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    from rdf_indexer_spark.textops import minhash_signature_udf, tokens_col
+
+    s1 = docs.select(minhash_signature_udf(tokens_col(F.col("text"))).alias("s")).collect()
+    s2 = docs.select(minhash_signature_udf(tokens_col(F.col("text"))).alias("s")).collect()
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+
+
+def test_simhash(spark, docs):
+    from rdf_indexer_spark.textops import simhash_col, simhash_near_duplicates
+
+    # identical text → identical simhash
+    sh = docs.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in sh}
+    assert by_id[0] == by_id[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    # near-dup has small distance; unrelated docs differ more
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 10
+
+
+def test_ngram_jaccard(spark, docs):
+    from rdf_indexer_spark.textops import ngram_jaccard
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"]
+    )
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in ngram_jaccard(pairs, docs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.0 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_language_id(spark, docs):
+    from rdf_indexer_spark.textops import language_id
+
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "fr"
+    assert out[5] == "de"
+
+
+def test_quality_features(spark, docs):
+    from rdf_indexer_spark.textops import quality_features
+
+    row = quality_features(docs).filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tokens"] == 9
+    assert row["stopword_ratio"] == pytest.approx(3 / 9, abs=1e-6)  # the, over, the
+    assert row["unique_ratio"] == pytest.approx(8 / 9, abs=1e-6)
+    assert row["punct_ratio"] == 0.0
+
+
+def test_fingerprints_winnowing(spark, docs):
+    from rdf_indexer_spark.textops import fingerprints
+
+    fp = {r["doc_id"]: r["fingerprints"] for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[1]                      # identical docs, identical prints
+    shared = set(fp[0]) & set(fp[2])
+    assert shared                               # near dups share fingerprints
+    assert not (set(fp[0]) & set(fp[3]))        # unrelated share none
+
+
+def test_token_count_matches_python(spark, docs):
+    from rdf_indexer_spark.analyzer import tokenize
+    from rdf_indexer_spark.textops import token_count
+
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    for row in docs.collect():
+        assert got[row["doc_id"]] == len(tokenize(row["text"]))
