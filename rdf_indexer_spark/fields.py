@@ -377,15 +377,15 @@ def rewrite_date_bnodes(triples: DataFrame) -> DataFrame:
     links = triples.filter(
         (F.col("predicate") == DC + "date") & ~F.col("is_literal")
     ).select(
-        "file",
+        F.col("file").alias("l_file"),
         F.col("subject").alias("doc_subject"),
         F.col("object").alias("bnode"),
     )
     bnode_triples = triples.filter(F.col("subject").startswith("_:"))
     rewritten = bnode_triples.join(
         links,
-        (bnode_triples["file"] == links["file"])
-        & (bnode_triples["subject"] == links["bnode"]),
+        (bnode_triples["file"] == F.col("l_file"))
+        & (bnode_triples["subject"] == F.col("bnode")),
     ).select(
         bnode_triples["file"],
         F.col("doc_subject").alias("subject"),

@@ -80,8 +80,21 @@ class IndexReader:
 
     # -- exhaustive scorer (DataFrame plan) ---------------------------------
 
+    def postings_view(self) -> DataFrame:
+        """The (term, doc_id, tf, dl) relation: the persisted postings table
+        when present, else a narrow vectorized decode of the blocks (the
+        blocks ARE the postings — the table is an optional debug artifact)."""
+        if os.path.exists(self.paths.postings):
+            return self.spark.read.parquet(self.paths.postings)
+        blocks = self.spark.read.parquet(self.paths.blocks).select(
+            "term", "ids_bin", "tfs_bin", "dls_bin"
+        )
+        return blocks.mapInPandas(
+            _decode_blocks_stream, schema="term string, doc_id long, tf long, dl long"
+        )
+
     def score_exhaustive(self, query: str, k: int | None = 10) -> DataFrame:
-        """Declarative BM25 over the postings table; k=None scores all."""
+        """Declarative BM25 over the postings relation; k=None scores all."""
         terms = sorted(set(tokenize(query)))
         idfs = self.idfs(terms)
         if not idfs:
@@ -89,7 +102,7 @@ class IndexReader:
         idf_map = F.create_map(
             *[F.lit(x) for t, v in sorted(idfs.items()) for x in (t, float(v))]
         )
-        postings = self.spark.read.parquet(os.path.join(self.paths.postings, "*"))
+        postings = self.postings_view()
         contrib = (
             F.element_at(idf_map, F.col("term"))
             * F.col("tf")
@@ -117,7 +130,7 @@ class IndexReader:
 
     def fetch_blocks(self, terms: list[str]) -> dict[str, list]:
         rows = (
-            self.spark.read.parquet(os.path.join(self.paths.blocks, "*"))
+            self.spark.read.parquet(self.paths.blocks)
             .filter(F.col("term").isin(terms))
             .select("term", "first_doc_id", "last_doc_id", "n", "max_tf",
                     "dl_min", "ids_bin", "tfs_bin", "dls_bin")
@@ -148,6 +161,29 @@ class IndexReader:
             [(int(d), float(s), r + 1) for r, (d, s) in enumerate(hits)],
             "doc_id long, score double, rank int",
         )
+
+
+def _decode_blocks_stream(batches):
+    """mapInPandas kernel: packed block rows → (term, doc_id, tf, dl)."""
+    import pandas as pd
+
+    for pdf in batches:
+        terms, ids, tfs, dls = [], [], [], []
+        for term, ib, tb, db in zip(pdf["term"], pdf["ids_bin"],
+                                    pdf["tfs_bin"], pdf["dls_bin"]):
+            i, t, d = unpack_block(bytes(ib), bytes(tb), bytes(db))
+            terms.extend([term] * len(i))
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+        if not ids:
+            continue
+        yield pd.DataFrame({
+            "term": terms,
+            "doc_id": np.concatenate(ids),
+            "tf": np.concatenate(tfs),
+            "dl": np.concatenate(dls),
+        })
 
 
 def _norm(dl: float, avgdl: float) -> float:

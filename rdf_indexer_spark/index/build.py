@@ -6,29 +6,31 @@ This internalizes what the reference ships to Solr over HTTP
 
   stage 1 (narrow): tokenize (JVM-native regexp, T-11) → dl, sha256
   stage 2 (shuffle): ``groupBy(term, doc_id)`` → tf   (map-side partial agg)
-  stage 3 (shuffle by term within a doc-bucket): ``applyInPandas`` block
-           packing → delta+varbyte blocks with block-max metadata
+  stage 3 (shuffle by (bucket, term)): ``applyInPandas`` block packing →
+           delta+varbyte blocks with block-max metadata, term-sorted files
 
-**Partitioning / skew / scale.** The corpus is processed in ``num_buckets``
-doc-id range partitions (doc_ids are dense and bucket-contiguous, see
-``docids.py``). Each bucket is an independent job whose outputs — docstore
-part, postings part, term blocks covering that doc range — commit atomically
-with a manifest row (lineage + row/token/posting counts + content-sha
-aggregate). An interrupted build resumes by anti-joining pending buckets
-against the manifest (zero recomputation of completed buckets). Because
-bucket doc-ranges are disjoint and sorted, per-bucket term blocks concatenate
-into globally sorted posting lists — the merge the reference's Solr performs
-at segment level is free here by construction; this bucket scheme is also the
-salted-key mitigation for Zipf-hot terms (a hot term's postings pack in ≤
-``num_buckets`` independent tasks, never one).
+**Partitioning / skew / scale.** Doc ids are dense and range-bucketed into
+``num_buckets`` partitions (``part=K`` hive dirs). All three stages run as
+ONE job each over every *pending* bucket (dynamic partition overwrite), so
+fixed job overhead is O(stages), not O(buckets). Checkpoint granularity is
+``buckets_per_job``: after each job group, every bucket in it commits a
+manifest row (lineage: rows / tokens / postings / content-sha aggregate).
+Resume filters finished buckets out of the next group — an interrupted run
+recomputes only the unfinished group, never committed buckets.
 
-At cluster scale the same code runs with buckets sized to executor memory
-(e.g. 4096 buckets over 10^12 docs) and the parquet writes become Iceberg
-``append``s with snapshot ids in the manifest.
+Hot Zipf terms never serialize: block packing groups by (bucket, term), so a
+hot term's postings pack in ≤ num_buckets independent tasks (range salting
+by construction — SURVEY.md §4.3.1); per-bucket doc ranges are disjoint and
+sorted, so bucket block lists concatenate into globally sorted posting lists
+and the query-side merge is free.
+
+On a real cluster the parquet writes become Iceberg appends (snapshot id in
+the manifest) and buckets are sized to executor memory (e.g. 4096 over 10^12
+docs, ~100 buckets per job group → checkpoint every few minutes of work).
 
 Blocks store ``(max_tf, dl_min)`` so query time can compute the block-max
-BM25 bound for any (k1, b, avgdl): score is increasing in tf and decreasing
-in dl, hence ``bound = idf · max_tf/(max_tf + K(dl_min))`` dominates every
+BM25 bound for any (k1, b, avgdl): the score is increasing in tf and
+decreasing in dl, hence ``idf · max_tf/(max_tf + K(dl_min))`` dominates every
 member posting.
 """
 
@@ -47,8 +49,9 @@ from .codec import BLOCK_SIZE, pack_block
 from .manifest import Manifest
 
 BLOCK_SCHEMA = (
-    "term string, seq int, n int, first_doc_id long, last_doc_id long, "
-    "max_tf int, dl_min int, ids_bin binary, tfs_bin binary, dls_bin binary"
+    "part int, term string, seq int, n int, first_doc_id long, "
+    "last_doc_id long, max_tf int, dl_min int, tf_sum long, "
+    "ids_bin binary, tfs_bin binary, dls_bin binary"
 )
 
 
@@ -82,12 +85,12 @@ class IndexPaths:
 
 
 def _pack_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term)-within-bucket group → block rows."""
+    """Pack ONE (bucket, term) group — rows already sorted by doc_id."""
+    part = int(pdf["part"].iloc[0])
     term = pdf["term"].iloc[0]
-    order = np.argsort(pdf["doc_id"].values, kind="stable")
-    ids = pdf["doc_id"].values[order].astype(np.int64)
-    tfs = pdf["tf"].values[order].astype(np.int64)
-    dls = pdf["dl"].values[order].astype(np.int64)
+    ids = pdf["doc_id"].values.astype(np.int64)
+    tfs = pdf["tf"].values.astype(np.int64)
+    dls = pdf["dl"].values.astype(np.int64)
     rows = []
     for seq, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
         bi = ids[start: start + BLOCK_SIZE]
@@ -95,12 +98,69 @@ def _pack_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
         bd = dls[start: start + BLOCK_SIZE]
         ids_bin, tfs_bin, dls_bin = pack_block(bi, bt, bd)
         rows.append({
-            "term": term, "seq": seq, "n": len(bi),
+            "part": part, "term": term, "seq": seq, "n": len(bi),
             "first_doc_id": int(bi[0]), "last_doc_id": int(bi[-1]),
             "max_tf": int(bt.max()), "dl_min": int(bd.min()),
+            "tf_sum": int(bt.sum()),
             "ids_bin": ids_bin, "tfs_bin": tfs_bin, "dls_bin": dls_bin,
         })
     return pd.DataFrame(rows)
+
+
+def _pack_stream(batches):
+    """mapInPandas kernel over part-aligned, (part, term, doc_id)-sorted
+    posting partitions: a NARROW block packer.
+
+    Because every (part, term) group is contiguous within the partition,
+    packing needs no groupBy shuffle — only a carry buffer for the group that
+    straddles the final Arrow batch boundary. Group boundaries are found
+    vectorized (np.flatnonzero over key changes), so per-group overhead is a
+    numpy slice, not a pandas DataFrame."""
+    carry: pd.DataFrame | None = None
+
+    def emit(pdf: pd.DataFrame, flush: bool):
+        nonlocal carry
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        n = len(pdf)
+        if n == 0:
+            return
+        parts = pdf["part"].values
+        terms = pdf["term"].values
+        change = np.flatnonzero((parts[1:] != parts[:-1]) | (terms[1:] != terms[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        if not flush:
+            # hold back the final (possibly incomplete) group
+            last_start = int(starts[-1])
+            carry = pdf.iloc[last_start:]
+            pdf = pdf.iloc[:last_start]
+            starts = starts[:-1]
+            if len(pdf) == 0:
+                return
+        ends = np.concatenate((starts[1:], [len(pdf)]))
+        out = []
+        for s, e in zip(starts, ends):
+            out.append(_pack_term_group(pdf.iloc[s:e]))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    for pdf in batches:
+        yield from emit(pdf, flush=False)
+    if carry is not None and len(carry):
+        final, carry = carry, None
+        yield from emit(final, flush=True)
+
+
+def _write_parts(df: DataFrame, path: str) -> None:
+    """Dynamic partition overwrite by ``part`` — reruns replace only the
+    buckets present in ``df``, never committed ones."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(path)
+    )
 
 
 def build_index(
@@ -113,12 +173,20 @@ def build_index(
     num_buckets: int = 8,
     meta_cols: tuple[str, ...] = (),
     resume: bool = True,
+    buckets_per_job: int | None = None,
+    write_postings: bool = True,
+    n_docs: int | None = None,
 ) -> dict:
     """Build (or resume) the full index for ``docs`` under ``index_dir``.
 
     ``docs`` must carry a dense ``id_col`` (use ``docids.assign_doc_ids``
     otherwise). Returns the manifest summary dict.
-    """
+
+    ``write_postings=False`` skips persisting the uncompressed postings
+    table — a debug/oracle artifact, not part of the index proper (the
+    blocks ARE the postings; Lucene keeps no uncompressed copy either).
+    The core pipeline then runs as one fused lineage with no intermediate
+    I/O. Pass ``n_docs`` when known to skip the max-id scan."""
     paths = IndexPaths(index_dir)
     manifest = Manifest(paths.manifest)
     if not resume:
@@ -127,77 +195,137 @@ def build_index(
                   paths.stats, paths.termstats):
             _rm(p)
 
-    n_docs = docs.count()
-    bounds = _bucket_bounds(n_docs, num_buckets)
+    if n_docs is None:
+        max_id = docs.agg(F.max(F.col(id_col))).collect()[0][0]
+        n_docs = int(max_id) + 1 if max_id is not None else 0
+    per = max((n_docs + num_buckets - 1) // max(num_buckets, 1), 1)
+    n_buckets = (n_docs + per - 1) // per if n_docs else 0
+
+    pending = [
+        b for b in range(n_buckets)
+        if not (resume and manifest.is_done("build", _key(b)))
+    ]
+    group_size = buckets_per_job or max(len(pending), 1)
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         *[F.col(c) for c in meta_cols],
+    ).withColumn(
+        "part", F.least(F.floor(F.col("doc_id") / per), F.lit(n_buckets - 1)).cast("int")
     )
 
-    for bucket, (lo, hi) in enumerate(bounds):
-        key = f"bucket={bucket:05d}"
-        if resume and manifest.is_done("build", key):
-            continue
-        manifest.start("build", key)
-        part = base.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        toks = part.withColumn("toks", tokenize_col(F.col("text")))
-        enriched = toks.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.sha2(F.col("text"), 256).alias("content_sha256"),
-            "toks",
-            *[F.col(c) for c in meta_cols],
-        ).persist()
+    # Parallelism/file-count discipline: the narrow tokenize stage inherits
+    # the source's file splits (a compacted source would serialize it), and
+    # a hive-partitioned write multiplies files by tasks×parts unless tasks
+    # are part-aligned. Hash-repartition on (part, stripe) fixes both with a
+    # single deterministic shuffle — no sampling pass (repartitionByRange
+    # would recompute the upstream lineage to sample ranges): full core
+    # budget, and each task's rows land in one part dir.
+    target_parallelism = spark.sparkContext.defaultParallelism * 2
 
-        docstore_part = enriched.drop("toks")
-        docstore_part.write.mode("overwrite").parquet(
-            os.path.join(paths.docstore, key)
+    def _part_aligned(df: DataFrame, stripe_col) -> DataFrame:
+        stripes = max(target_parallelism // max(len(pending), 1), 1)
+        return df.repartition(
+            target_parallelism, F.col("part"),
+            F.pmod(stripe_col, F.lit(stripes)),
         )
 
-        postings = (
-            enriched.select("doc_id", "dl", F.explode("toks").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count("*").alias("tf"))
+    for gstart in range(0, len(pending), group_size):
+        group = pending[gstart: gstart + group_size]
+        part_col = F.col("part")
+        enriched = (
+            _part_aligned(base.filter(part_col.isin(group)), F.col("doc_id"))
+            .withColumn("toks", tokenize_col(F.col("text")))
+            .select(
+                "part", "doc_id",
+                F.size("toks").alias("dl"),
+                F.sha2(F.col("text"), 256).alias("content_sha256"),
+                "toks",
+                *[F.col(c) for c in meta_cols],
+            )
+            .persist()
         )
-        postings.write.mode("overwrite").parquet(
-            os.path.join(paths.postings, key)
-        )
-        postings_df = spark.read.parquet(os.path.join(paths.postings, key))
 
-        blocks = postings_df.groupBy("term").applyInPandas(
-            _pack_term_group, schema=BLOCK_SCHEMA
-        )
-        blocks.write.mode("overwrite").parquet(os.path.join(paths.blocks, key))
+        _write_parts(enriched.drop("toks"), paths.docstore)
 
-        stats_row = enriched.agg(
-            F.count("*").alias("rows"),
-            F.sum("dl").alias("tokens"),
-            # order-independent content lineage: xor-free additive sha agg
-            F.sum(F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(38,0)")).alias("sha_agg"),
-        ).collect()[0]
-        n_postings = postings_df.count()
+        # postings: map-side partial agg collapses duplicate (term, doc)
+        # pairs before the shuffle; the aligned repartition then clusters
+        # each task onto one (part, term-stripe) and the in-partition sort
+        # makes every (part, term) group contiguous — which lets BOTH the
+        # postings files (term-sorted → parquet row-group pruning) and the
+        # block packer reuse this single shuffle.
+        postings = _part_aligned(
+            enriched.select("part", "doc_id", "dl", F.explode("toks").alias("term"))
+            .groupBy("part", "term", "doc_id", "dl")
+            .agg(F.count("*").alias("tf")),
+            F.xxhash64("term"),
+        ).sortWithinPartitions("part", "term", "doc_id")
+
+        # Block packing is NARROW from here: every (part, term) group is a
+        # contiguous run inside its sorted, stripe-exclusive partition
+        # (_pack_stream). With write_postings the sorted stream is also
+        # persisted as the postings table and packed from the files (read
+        # back with splitting disabled so no group straddles a task).
+        if write_postings:
+            _write_parts(postings, paths.postings)
+            old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
+            try:
+                src = spark.read.parquet(paths.postings).filter(
+                    part_col.isin(group)
+                )
+                blocks = src.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
+                _write_parts(blocks, paths.blocks)
+            finally:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        else:
+            blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
+            _write_parts(blocks, paths.blocks)
+
+        # one metrics pass per group: rows / tokens / order-independent sha agg
+        metrics = {
+            r["part"]: r
+            for r in enriched.groupBy("part").agg(
+                F.count("*").alias("rows"),
+                F.sum("dl").alias("tokens"),
+                F.sum(
+                    F.conv(F.substring("content_sha256", 1, 15), 16, 10)
+                    .cast("decimal(38,0)")
+                ).alias("sha_agg"),
+            ).collect()
+        }
+        n_post = {
+            r["part"]: r["np"]
+            for r in spark.read.parquet(paths.blocks)
+            .filter(part_col.isin(group))
+            .groupBy("part").agg(F.sum("n").alias("np")).collect()
+        }
         enriched.unpersist()
-        manifest.finish(
-            "build", key,
-            rows=stats_row["rows"] or 0, tokens=int(stats_row["tokens"] or 0),
-            postings=n_postings, sha_agg=str(stats_row["sha_agg"] or 0),
-        )
+        for b in group:
+            m = metrics.get(b)
+            manifest.finish(
+                "build", _key(b),
+                rows=int(m["rows"]) if m else 0,
+                tokens=int(m["tokens"] or 0) if m else 0,
+                postings=int(n_post.get(b, 0)),
+                sha_agg=str(m["sha_agg"] or 0) if m else "0",
+            )
 
-    # ---- finalize: corpus + term statistics (global, skew-safe aggs) ----
     if not (resume and manifest.is_done("finalize", "stats")):
-        manifest.start("finalize", "stats")
-        docstore = spark.read.parquet(os.path.join(paths.docstore, "*"))
+        docstore = spark.read.parquet(paths.docstore)
         stats = docstore.agg(
             F.count("*").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("total_tokens"),
         )
         stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
-        postings_all = spark.read.parquet(os.path.join(paths.postings, "*"))
-        termstats = postings_all.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        # term statistics from block metadata (df = Σ n, cf = Σ tf_sum) —
+        # no dependence on the optional postings table
+        termstats = (
+            spark.read.parquet(paths.blocks)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
         )
         termstats.write.mode("overwrite").parquet(paths.termstats)
         manifest.finish("finalize", "stats")
@@ -205,12 +333,8 @@ def build_index(
     return manifest.summary()
 
 
-def _bucket_bounds(n_docs: int, num_buckets: int) -> list[tuple[int, int]]:
-    """Contiguous doc_id ranges covering [0, n_docs)."""
-    per = (n_docs + num_buckets - 1) // max(num_buckets, 1)
-    per = max(per, 1)
-    return [(i * per, min((i + 1) * per, n_docs)) for i in range(num_buckets)
-            if i * per < n_docs]
+def _key(bucket: int) -> str:
+    return f"bucket={bucket:05d}"
 
 
 def _rm(path: str) -> None:

@@ -54,8 +54,8 @@ def index_dir(spark, tmp_path_factory):
 def test_postings_invariants(spark, index_dir):
     from pyspark.sql import functions as F
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings", "*"))
-    docstore = spark.read.parquet(os.path.join(index_dir, "docstore", "*"))
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    docstore = spark.read.parquet(os.path.join(index_dir, "docstore"))
 
     # Σ tf per doc == dl
     sums = postings.groupBy("doc_id").agg(F.sum("tf").alias("s"))
@@ -77,7 +77,7 @@ def test_sha256_invariant(spark, index_dir):
 
     docs = spark.createDataFrame(_synth_docs(), ["doc_id", "text"])
     src = docs.select("doc_id", F.sha2("text", 256).alias("sha_src"))
-    store = spark.read.parquet(os.path.join(index_dir, "docstore", "*"))
+    store = spark.read.parquet(os.path.join(index_dir, "docstore"))
     j = src.join(store, "doc_id")
     assert j.count() == docs.count()
     assert j.filter(F.col("sha_src") != F.col("content_sha256")).count() == 0
@@ -86,7 +86,7 @@ def test_sha256_invariant(spark, index_dir):
 def test_block_invariants(spark, index_dir):
     from rdf_indexer_spark.index.codec import BLOCK_SIZE, unpack_block
 
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks", "*")).collect()
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks")).collect()
     assert blocks
     for blk in blocks:
         ids, tfs, dls = unpack_block(bytes(blk["ids_bin"]), bytes(blk["tfs_bin"]),
@@ -104,7 +104,7 @@ def test_block_max_dominates(spark, index_dir):
 
     row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
     avgdl = float(row["avgdl"])
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks", "*")).limit(200).collect()
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks")).limit(200).collect()
     for blk in blocks:
         _, tfs, dls = unpack_block(bytes(blk["ids_bin"]), bytes(blk["tfs_bin"]),
                                    bytes(blk["dls_bin"]))
@@ -151,14 +151,16 @@ def test_resume_without_recompute(spark, tmp_path):
     out = str(tmp_path / "resumed")
     import rdf_indexer_spark.index.build as B
 
-    original = B._pack_term_group
+    original = B._pack_stream
     manifest = Manifest(os.path.join(out, "manifest"))
-    B._pack_term_group = _fail_after(original, fail_on_bucket=1)
+    B._pack_stream = _fail_after(original, min_doc_id=40)
     try:
         with pytest.raises(Exception):
-            build_index(spark, docs, out, num_buckets=3, resume=True)
+            # buckets_per_job=1 → one checkpoint commit per bucket
+            build_index(spark, docs, out, num_buckets=3, resume=True,
+                        buckets_per_job=1)
     finally:
-        B._pack_term_group = original
+        B._pack_stream = original
 
     # exactly one bucket committed
     done = [r for r in manifest.records() if r["stage"] == "build"]
@@ -166,7 +168,8 @@ def test_resume_without_recompute(spark, tmp_path):
 
     mtimes_before = _tree_mtimes(os.path.join(out, "blocks"))
 
-    build_index(spark, docs, out, num_buckets=3, resume=True)
+    build_index(spark, docs, out, num_buckets=3, resume=True,
+                buckets_per_job=1)
 
     # finished partition untouched
     mtimes_after = _tree_mtimes(os.path.join(out, "blocks"))
@@ -184,14 +187,19 @@ def test_resume_without_recompute(spark, tmp_path):
         assert r1.search_wand(q, 20) == r2.search_wand(q, 20)
 
 
-def _fail_after(original, fail_on_bucket):
-    """Wrap the pack kernel to fail once postings from bucket>=1 appear
-    (doc_id >= 40 given 120 docs / 3 buckets)."""
+def _fail_after(original, min_doc_id):
+    """Wrap the streaming pack kernel (passed by value into mapInPandas) to
+    fail once postings from bucket>=1 appear (doc_id >= 40 for 120 docs / 3
+    buckets)."""
 
-    def wrapped(pdf):
-        if (pdf["doc_id"] >= 40).any():
-            raise RuntimeError("injected failure")
-        return original(pdf)
+    def wrapped(batches):
+        def guarded():
+            for pdf in batches:
+                if (pdf["doc_id"] >= min_doc_id).any():
+                    raise RuntimeError("injected failure")
+                yield pdf
+
+        return original(guarded())
 
     return wrapped
 

@@ -58,7 +58,7 @@ def test_index_rdf_corpus_end_to_end(spark, tmp_path):
     hits = reader.search_wand("needle", 5)
     assert len(hits) == 1
     # doc ids keyed by uri order within hash buckets; map back via docstore
-    store = spark.read.parquet(f"{idx}/docstore/*").collect()
+    store = spark.read.parquet(f"{idx}/docstore").collect()
     by_id = {r["doc_id"]: r["uri"] for r in store}
     assert by_id[hits[0][0]] == "http://t/doc3"
 
@@ -89,7 +89,7 @@ def test_index_code_corpus_input_hint_shape(spark, tmp_path):
     assert summary["rows"] == 60
 
     # per-row sha256 invariant source ↔ doc store on the natural key
-    store = spark.read.parquet(f"{idx}/docstore/*")
+    store = spark.read.parquet(f"{idx}/docstore")
     src = df.select("repo", "path", "commit", F.sha2("content", 256).alias("sha_src"))
     j = store.join(src, ["repo", "path", "commit"])
     assert j.count() == 60

@@ -6,16 +6,21 @@ import pytest
 from pyspark.sql import functions as F
 
 
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the old wooden barn and the river keeps flowing "
+        "toward the distant sea past quiet villages and green fields")
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [
-        (0, "the quick brown fox jumps over the lazy dog"),
-        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
-        (2, "the quick brown fox leaps over the lazy dog"),          # near dup of 0
+        (0, BASE),
+        (1, BASE),                                                    # exact dup of 0
+        (2, BASE.replace("wooden barn", "stone bridge")),             # near dup of 0
         (3, "completely different content about spark sql engines"),
-        (4, "le chat est sur la table et il est content"),           # fr-ish
-        (5, "der hund ist nicht mit der katze und das ist gut"),     # de-ish
-        (6, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (4, "le chat est sur la table et il est content"),            # fr-ish
+        (5, "der hund ist nicht mit der katze und das ist gut"),      # de-ish
+        (6, BASE.replace("lazy dog", "lazy cat")),                    # near dup
         (7, "spark sql engines process completely different content"),
     ]
     return spark.createDataFrame(rows, ["doc_id", "text"])
@@ -54,10 +59,10 @@ def test_minhash_signature_deterministic(spark, docs):
 
 
 def test_simhash(spark, docs):
-    from rdf_indexer_spark.textops import simhash_col, simhash_near_duplicates
+    from rdf_indexer_spark.textops import simhash_near_duplicates, with_simhash
 
     # identical text → identical simhash
-    sh = docs.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+    sh = with_simhash(docs).select("doc_id", "sh").collect()
     by_id = {r["doc_id"]: r["sh"] for r in sh}
     assert by_id[0] == by_id[1]
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
@@ -93,9 +98,14 @@ def test_language_id(spark, docs):
 def test_quality_features(spark, docs):
     from rdf_indexer_spark.textops import quality_features
 
-    row = quality_features(docs).filter(F.col("doc_id") == 0).collect()[0]
+    small = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    row = quality_features(small).collect()[0]
     assert row["n_tokens"] == 9
-    assert row["stopword_ratio"] == pytest.approx(3 / 9, abs=1e-6)  # the, over, the
+    # stopword list hits: 'the' ×2 ('over' is not a function word here)
+    assert row["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
     assert row["unique_ratio"] == pytest.approx(8 / 9, abs=1e-6)
     assert row["punct_ratio"] == 0.0
 
