@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": Q.q_term_df,
         "corpus_stats": Q.q_corpus_stats,
         "bm25_scores": Q.q_bm25_scores,
+        "bm25_topk_wand": Q.q_bm25_topk_wand,
         # training-data pipeline operators
         "exact_dedup": Q.q_exact_dedup,
         "quality": Q.q_quality,
@@ -229,6 +230,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN stats
             GROUP BY tf.doc_id
+        """,
+        "bm25_topk_wand": f"""
+            WITH q(term) AS (VALUES {bm25_terms}),
+            tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokd GROUP BY doc_id),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            ),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                       tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score FROM scores
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,

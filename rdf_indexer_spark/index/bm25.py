@@ -282,6 +282,8 @@ def _wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
     Pruning uses strict ``ub < θ`` so boundary ties are always evaluated —
     exactness over marginal pruning (SURVEY.md §4.3.3 correctness guard).
     """
+    if k <= 0:
+        return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
     def theta() -> float:

@@ -5,9 +5,12 @@ This internalizes what the reference ships to Solr over HTTP
 (SURVEY.md §3.1):
 
   stage 1 (narrow): tokenize (JVM-native regexp, T-11) → dl, sha256
-  stage 2 (shuffle): ``groupBy(term, doc_id)`` → tf   (map-side partial agg)
-  stage 3 (shuffle by (bucket, term)): ``applyInPandas`` block packing →
-           delta+varbyte blocks with block-max metadata, term-sorted files
+  stage 2 (shuffle): ``groupBy(term, doc_id)`` → tf (map-side partial agg),
+           then ONE part-aligned repartition + in-partition sort by
+           (part, term, doc_id)
+  stage 3 (NARROW): streaming ``mapInPandas`` block packer over the sorted
+           stripe-exclusive partitions → delta+varbyte blocks with block-max
+           metadata, term-sorted files (no second shuffle)
 
 **Partitioning / skew / scale.** Doc ids are dense and range-bucketed into
 ``num_buckets`` partitions (``part=K`` hive dirs). All three stages run as

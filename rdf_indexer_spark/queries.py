@@ -320,6 +320,36 @@ def q_bm25_scores(spark, sf):
     )
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark, sf):
+    """Build (once per sf_dir) the real on-disk index over documents."""
+    import tempfile
+
+    from .index.build import build_index
+
+    if sf not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="qidx_")
+        docs = load(spark, sf, "documents").select("doc_id", "text")
+        build_index(spark, docs, d, num_buckets=4, resume=False)
+        _INDEX_CACHE[sf] = d
+    return _INDEX_CACHE[sf]
+
+
+def q_bm25_topk_wand(spark, sf):
+    """Q-9 end-to-end through the REAL engine: on-disk blocks + block-max
+    WAND top-10, oracle-checked against a from-scratch SQL BM25 (rounded
+    scores; ties broken by doc_id in both engines)."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_wand(" ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_exact_dedup(spark, sf):
     """Exact dedup groups: content-hash groupBy."""
     return (

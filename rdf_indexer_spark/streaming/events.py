@@ -25,7 +25,9 @@ def windowed_event_counts(
     value double). Late rows beyond the watermark are dropped; state is
     bounded — the plan is safe for an unbounded source."""
     return (
-        stream.withWatermark("ts", watermark)
+        # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),

@@ -121,9 +121,15 @@ def test_streaming_windowed_counts(spark, tmp_path):
 
     from rdf_indexer_spark.streaming import windowed_event_counts
 
+    import shutil
+
     src = os.path.join("/root/testdata/sf0.001", "events.parquet")
+    # the streaming file source requires a directory
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
     static = spark.read.parquet(src)
-    stream = spark.readStream.schema(static.schema).parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     q = (
         out.writeStream.format("memory").queryName("wincounts")
