@@ -211,3 +211,23 @@ def _tree_mtimes(root):
             p = os.path.join(dirpath, f)
             out[p] = os.stat(p).st_mtime_ns
     return out
+
+
+def test_rank_determinism_across_partitioning(spark, tmp_path):
+    """North-rule determinism: identical top-k (docIDs + scores) no matter
+    how the build was partitioned (bucket count / parallelism) — SURVEY.md
+    §4.3.6. Bucketing changes file layout, never block contents."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    docs = spark.createDataFrame(_synth_docs(n=150), ["doc_id", "text"])
+    readers = []
+    for nb in (2, 5):
+        out = str(tmp_path / f"b{nb}")
+        build_index(spark, docs.repartition(nb + 1), out,
+                    num_buckets=nb, resume=False)
+        readers.append(IndexReader(spark, out))
+    for q in ("the", "needle", "alpha beta gamma", "w1 w2"):
+        a = readers[0].search_wand(q, 25)
+        b = readers[1].search_wand(q, 25)
+        assert a == b, q  # exact: same docIDs AND bit-identical scores
