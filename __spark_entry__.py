@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_join": Q.q_resolve_join,
         "multi_join_topk": Q.q_multi_join_topk,
         "events_tumbling": Q.q_events_tumbling,
+        "text_size_windows": Q.q_text_size_windows,
         # fulltext index surface (T-11, postings, stats, Q-9)
         "token_count": Q.q_token_count,
         "postings": Q.q_postings,
@@ -184,6 +185,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "text_size_windows": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS tlen,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rn
+              FROM documents
+            )
+            SELECT (rn // 100)::BIGINT AS window_id,
+                   sum(tlen)::BIGINT AS window_bytes,
+                   max(tlen)::BIGINT AS max_doc_bytes,
+                   count(*)::BIGINT AS docs
+            FROM t GROUP BY 1
         """,
         "token_count": f"""
             SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents

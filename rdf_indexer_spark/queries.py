@@ -320,6 +320,23 @@ def q_bm25_scores(spark, sf):
     )
 
 
+def q_text_size_windows(spark, sf):
+    """J-8: max total text bytes over windows of 100 consecutive docs
+    (RDFCompare.java:119-145 windowed running-size stats)."""
+    w = Window.orderBy("doc_id")
+    numbered = load(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("tlen")
+    ).withColumn("rn", F.row_number().over(w) - 1)
+    return (
+        numbered.groupBy((F.col("rn") / 100).cast("bigint").alias("window_id"))
+        .agg(
+            F.sum("tlen").cast("bigint").alias("window_bytes"),
+            F.max("tlen").cast("bigint").alias("max_doc_bytes"),
+            F.count("*").cast("bigint").alias("docs"),
+        )
+    )
+
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
