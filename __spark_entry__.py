@@ -2,10 +2,11 @@
 
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (implementations in ``rdf_indexer_spark/queries.py``);
-``oracle_sql()`` restates each SQL-expressible one in ANSI SQL for the
-DuckDB side-by-side check. Spark-only operators (index internals, LSH,
-simhash, RDF parse layer) have rows-only checks here and exact oracles in
-``tests/``.
+``oracle_sql()`` restates each one in ANSI SQL for the DuckDB side-by-side
+check. Since r2 EVERY entry has an oracle: LSH/sketch operators use
+cross-engine md5-60 hashing (and md5→Box-Muller hyperplanes) so their full
+semantics restate in SQL; the RDF parse layer is checked against literal
+goldens traced to the reference's own fixtures and source.
 """
 
 from __future__ import annotations
@@ -15,6 +16,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 TOKEN_RE2 = r"[\p{L}\p{N}_]+"
+
+# DuckDB restatement of the cross-engine 60-bit hash (textops.h60_col):
+# integer value of the first 15 hex chars of md5(x), via a positional
+# hex-digit sum (DuckDB's md5_number_* are little-endian, so no shortcut).
+HEXINT_DOC = "first 15 hex chars of md5 as int"
+
+
+def _hexint(expr: str) -> str:
+    return (
+        "list_sum([ (strpos('0123456789abcdef', md5(" + expr + ")[i]) - 1)::BIGINT"
+        " << (4*(15-i)) for i in range(1, 16) ])"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,11 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": Q.q_corpus_stats,
         "bm25_scores": Q.q_bm25_scores,
         "bm25_topk_wand": Q.q_bm25_topk_wand,
+        "bm25_topk_wand_dist": Q.q_bm25_topk_wand_dist,
         # training-data pipeline operators
         "exact_dedup": Q.q_exact_dedup,
         "quality": Q.q_quality,
         "ann_cosine": Q.q_ann_cosine,
-        # Spark-only (rows-only checks; pytest oracles in tests/)
+        # LSH / sketch / parse-layer ops (oracle-checked since r2)
         "minhash_neardup": Q.q_minhash_neardup,
         "simhash_neardup": Q.q_simhash_neardup,
         "langid": Q.q_langid,
@@ -73,6 +87,39 @@ def oracle_sql() -> dict[str, str]:
     tok = f"regexp_extract_all(lower(text), '{TOKEN_RE2}')"
     bm25_terms = "('window'), ('shuffle'), ('join')"
     post_terms = "('data'), ('spark'), ('query')"
+    # shared by bm25_topk_wand (driver cursor walk) and bm25_topk_wand_dist
+    # (executor-side applyInPandas walk): both must equal the from-scratch
+    # SQL BM25. dl comes from the documents table directly (not the token
+    # unnest, which drops zero-token docs) so N/avgdl count ALL docs like the
+    # Spark plan and the on-disk index stats do.
+    bm25_topk_sql = f"""
+        WITH q(term) AS (VALUES {bm25_terms}),
+        tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
     return {
         "archive_filter": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
@@ -187,16 +234,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "text_size_windows": """
-            WITH t AS (
-              SELECT doc_id, length(text) AS tlen,
-                     row_number() OVER (ORDER BY doc_id) - 1 AS rn
-              FROM documents
-            )
-            SELECT (rn // 100)::BIGINT AS window_id,
-                   sum(tlen)::BIGINT AS window_bytes,
-                   max(tlen)::BIGINT AS max_doc_bytes,
+            -- doc_ids are dense 0..N-1, so window = doc_id // 100 on both
+            -- sides (no global-order window anywhere)
+            SELECT (doc_id // 100)::BIGINT AS window_id,
+                   sum(length(text))::BIGINT AS window_bytes,
+                   max(length(text))::BIGINT AS max_doc_bytes,
                    count(*)::BIGINT AS docs
-            FROM t GROUP BY 1
+            FROM documents GROUP BY 1
         """,
         "token_count": f"""
             SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents
@@ -223,7 +267,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": f"""
             WITH q(term) AS (VALUES {bm25_terms}),
             tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
-            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokd GROUP BY doc_id),
+            -- dl from the documents table directly (NOT from tokd, which
+            -- drops zero-token docs): N and avgdl must count ALL docs,
+            -- matching the Spark plan and the on-disk index stats
+            dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
             tf AS (
               SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
               WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
@@ -244,34 +291,8 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN stats
             GROUP BY tf.doc_id
         """,
-        "bm25_topk_wand": f"""
-            WITH q(term) AS (VALUES {bm25_terms}),
-            tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
-            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokd GROUP BY doc_id),
-            tf AS (
-              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
-              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
-            ),
-            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-            df AS (
-              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
-              WHERE term IN (SELECT term FROM q) GROUP BY term
-            ),
-            scores AS (
-              SELECT tf.doc_id,
-                     sum(
-                       ln(1 + (n - df + 0.5) / (df + 0.5)) *
-                       tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
-                     ) AS score
-              FROM tf
-              JOIN df USING (term)
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN stats
-              GROUP BY tf.doc_id
-            )
-            SELECT doc_id, round(score, 4) AS score FROM scores
-            ORDER BY score DESC, doc_id ASC LIMIT 10
-        """,
+        "bm25_topk_wand": bm25_topk_sql,
+        "bm25_topk_wand_dist": bm25_topk_sql,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    count(*)::BIGINT AS dup_count,
@@ -307,5 +328,195 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_dot_product(emb, emb))),
                    5) AS cosine
             FROM e CROSS JOIN q
+        """,
+        # RDF parse-layer goldens (new in r2). These are literal expected
+        # outputs for the reference's own test fixtures, in the reference's
+        # IndexerError (file, uri, message) shape (ErrorReport.java:41-52).
+        # Lines trace to reference source semantics: the nines:* blanket
+        # rejection is NinesStatementHandler.java:103-106 (the shipped
+        # test_data/report.txt predates that change — it still has the older
+        # per-property message — so current-source behavior is authoritative;
+        # divergence documented in COVERAGE.md); "Invalid date format" is
+        # years.py/parseYears parity; "No objects in this file." is
+        # RDFIndexer.java's empty-file error; the FATAL PARSE ERROR line is
+        # our XML parser's message for the same SAXParseException (documented
+        # message-text divergence, same file/line/uri). Field-level goldens
+        # for the parsed documents live in tests/test_pipeline.py.
+        "rdf_documents": """
+            SELECT * FROM (VALUES
+              ('bad_nines_element.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 18),
+              ('bad_date.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 14),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 15)
+            ) AS t(file, uri, n_fields)
+        """,
+        "rdf_errors": """
+            SELECT * FROM (VALUES
+              ('invalid_xml.rdf', '', 'FATAL PARSE ERROR at line 1, col 0 : syntax error: line 1, column 0'),
+              ('invalid_xml.rdf', '', 'No objects in this file.'),
+              ('bad_nines_element.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 'NINES is no longer a valid attribute: http://www.nines.org/schema#archive'),
+              ('bad_nines_element.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 'NINES is no longer a valid attribute: http://www.nines.org/schema#genre'),
+              ('bad_nines_element.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 'NINES is no longer a valid attribute: http://www.nines.org/schema#seeAlso'),
+              ('bad_date.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 'NINES is no longer a valid attribute: http://www.nines.org/schema#archive'),
+              ('bad_date.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 'NINES is no longer a valid attribute: http://www.nines.org/schema#genre'),
+              ('bad_date.rdf', 'http://www.patacriticism.org/test/bad_nines_element', 'Invalid date format: 1869 November 15 (before 25 November)'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#archive'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#genre'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#genre'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#text'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#thumbnail'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#image'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'NINES is no longer a valid attribute: http://www.nines.org/schema#source'),
+              ('role_test.rdf', 'http://www.rossettiarchive.org/docs/f20.s254.rap', 'Invalid date format: unknown')
+            ) AS t(file, uri, message)
+        """,
+        # LSH/sketch oracles (new in r2): the engine generates candidates by
+        # LSH but its CONTRACT is brute-force-restateable; recall == 1 on the
+        # deterministic sandbox corpora is asserted separately in pytest.
+        "minhash_neardup": f"""
+            -- ground truth for the exact-verified MinHash/LSH near-dup op:
+            -- all pairs with distinct-3-gram Jaccard >= 0.8 (docs under 3
+            -- tokens have an empty gram set, same as the Spark plan)
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(toks) >= 3
+                         THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                             for i in range(1, len(toks)-1)])
+                         ELSE []::VARCHAR[] END AS grams
+                  FROM t),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                           / greatest(len(list_distinct(a.grams || b.grams)), 1),
+                           6) AS jaccard
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "simhash_neardup": f"""
+            -- 60-bit simhash recomputed from scratch: per-token md5-60
+            -- hashes ({HEXINT_DOC}), per-bit majority vote over all token
+            -- occurrences, then the engine's exact candidate rule (at least
+            -- one of four 16-bit chunks equal) + Hamming <= 8
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            tokr AS (SELECT doc_id, unnest(toks) AS s FROM t),
+            th AS (SELECT doc_id, {_hexint('s')} AS h FROM tokr),
+            bits AS (
+              SELECT doc_id, b, 2*sum(((h >> b) & 1)) - count(*) AS vote
+              FROM th, (SELECT unnest(range(60)) AS b) bs
+              GROUP BY doc_id, b
+            ),
+            sh0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+              FROM bits GROUP BY doc_id
+            ),
+            sh AS (
+              SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS sh
+              FROM documents d LEFT JOIN sh0 s USING (doc_id)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT))::INT AS hamming,
+                     a.sh AS sa, b.sh AS sb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs
+            WHERE hamming <= 8 AND (
+                  ((sa >> 0)  & 65535) = ((sb >> 0)  & 65535) OR
+                  ((sa >> 16) & 65535) = ((sb >> 16) & 65535) OR
+                  ((sa >> 32) & 65535) = ((sb >> 32) & 65535) OR
+                  ((sa >> 48) & 65535) = ((sb >> 48) & 65535))
+        """,
+        "langid": f"""
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, unnest(['de','en','es','fr']) AS lang,
+                     unnest([
+                       len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')))::DOUBLE / greatest(len(toks), 1),
+                       len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / greatest(len(toks), 1),
+                       len(list_filter(toks, x -> x IN ('el','la','los','de','que','y','en','un','una','es')))::DOUBLE / greatest(len(toks), 1),
+                       len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','en','un','une','est')))::DOUBLE / greatest(len(toks), 1)
+                     ]) AS score
+              FROM t
+            ),
+            best AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+              FROM sc
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0.01 THEN lang ELSE 'unknown' END AS lang_pred,
+                   round(score, 6) AS lang_score
+            FROM best WHERE rn = 1
+        """,
+        "fingerprints": f"""
+            -- winnowing restated gram-for-gram: 5-token k-grams, md5-60
+            -- hashes, min per 4-window, distinct count; <5-token docs have
+            -- no k-grams, <4 k-grams collapse to a single min
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            kgrows AS (
+              SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 5
+            ),
+            khrows AS (SELECT doc_id, i, {_hexint('gram')} AS h FROM kgrows),
+            kh AS (SELECT doc_id, list(h ORDER BY i) AS kh FROM khrows GROUP BY doc_id),
+            fp AS (
+              SELECT d.doc_id,
+                     CASE WHEN kh IS NULL OR len(kh) = 0 THEN []::BIGINT[]
+                          WHEN len(kh) < 4 THEN [list_min(kh)]
+                          ELSE [list_min(kh[i:i+3]) for i in range(1, len(kh)-2)]
+                     END AS mins
+              FROM documents d LEFT JOIN kh USING (doc_id)
+            )
+            SELECT doc_id, len(list_distinct(mins))::BIGINT AS n_fingerprints FROM fp
+        """,
+        "ann_lsh": f"""
+            -- FULL LSH restatement: md5→Box-Muller hyperplanes (bit-identical
+            -- to similarity._plane_weight), sign signatures, radius-1
+            -- multiprobe of the query's buckets, exact-cosine re-rank. This
+            -- checks the engine's real LSH semantics end-to-end in SQL.
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            planes AS (
+              SELECT t, b, d,
+                     sqrt(-2 * ln(({_hexint("concat('lsh:',t,':',b,':',d,':u1')")} + 1)
+                                  / 1152921504606846976.0)) *
+                     cos(2 * pi() * ({_hexint("concat('lsh:',t,':',b,':',d,':u2')")}
+                                  / 1152921504606846976.0)) AS w
+              -- dim=64 across all testdata sf dirs (embeddings schema)
+              FROM range(2) tt(t), range(8) bb(b), range(64) dd(d)
+            ),
+            dots AS (
+              SELECT e.vec_id, p.t, p.b, sum(e.emb[p.d + 1] * p.w) AS dot
+              FROM e, planes p GROUP BY e.vec_id, p.t, p.b
+            ),
+            sig AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN dot > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS signature
+              FROM dots GROUP BY vec_id, t
+            ),
+            probes AS (
+              SELECT t, signature FROM sig WHERE vec_id = 0
+              UNION
+              SELECT s.t, xor(s.signature::UBIGINT, (1::UBIGINT << f))::BIGINT
+              FROM sig s, range(8) ff(f) WHERE s.vec_id = 0
+            ),
+            cand AS (
+              SELECT DISTINCT s.vec_id
+              FROM sig s JOIN probes p ON s.t = p.t AND s.signature = p.signature
+            ),
+            q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     list_dot_product(emb, qv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(emb, emb))) AS cosine
+              FROM e JOIN cand USING (vec_id) CROSS JOIN q
+            )
+            SELECT vec_id, round(cosine, 5) AS cosine FROM (
+              SELECT vec_id, cosine FROM scored
+              ORDER BY cosine DESC, vec_id ASC LIMIT 10
+            )
         """,
     }

@@ -190,13 +190,50 @@ def _first_diff_pos(a: Column, b: Column) -> Column:
     return F.when(first > 0, first - 1).otherwise(n)
 
 
+def global_order_rank(
+    df: DataFrame, key_col: str = "uri", out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based global rank in ``key_col`` order WITHOUT a single-task sort.
+
+    An unpartitioned ``Window.orderBy`` collapses to one task — the r1
+    scale-killer. Instead: range-partition on the key (each partition owns a
+    disjoint key range, globally ordered across partition ids), rank within
+    each partition in parallel, then add per-partition offsets via a window
+    over the per-partition COUNTS — a ~num_partitions-row relation, so that
+    one serial window is O(partitions), not O(rows). Same offsets idea as
+    docids.assign_doc_ids, but range (not hash) buckets so the rank is true
+    global key order. The ranked input is persisted so the count branch and
+    the rank branch see identical range boundaries."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    d = (
+        df.repartitionByRange(n, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(key_col)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        d.withColumn("_rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn_in") - 1).cast("long"))
+        .drop("_pid", "_rn_in", "_off")
+    )
+
+
 def text_size_stats(docs: DataFrame, windows=(2, 5, 10, 100, 1000, 10000)) -> DataFrame:
     """J-8: totals / max / docs-with-text + max total text size over windows
-    of k consecutive docs in uri order (RDFCompare.java:119-145,164-296)."""
+    of k consecutive docs in uri order (RDFCompare.java:119-145,164-296).
+
+    Window numbering comes from :func:`global_order_rank` — parallel
+    range-partitioned ranking, no single-task global sort."""
     text_len = F.length(to_solr_string(F.element_at(F.col("fields"), F.lit("text"))))
     base = docs.select("uri", F.coalesce(text_len, F.lit(0)).alias("tlen"))
-    w = Window.orderBy("uri")
-    numbered = base.withColumn("rn", F.row_number().over(w) - 1)
+    numbered = global_order_rank(base, "uri", "rn")
     aggs = [
         F.sum("tlen").alias("total_text_bytes"),
         F.max("tlen").alias("max_text_bytes"),

@@ -25,9 +25,17 @@ to float ulps and the test suite asserts rank + score identity.
   block-max pruning (Ding & Suel, SIGIR 2011). Blocks for the query's terms
   are pruned by the parquet ``term`` predicate (a handful of rows per term),
   fetched, and walked with numpy decode — the classic top-k engine shape.
-  At cluster scale the same cursor walk runs inside ``mapPartitions`` over
-  term-bucketed block partitions feeding a driver-side k-way merge; the
-  sandbox corpus fits the driver, so the fetch is a collect.
+
+* ``search_wand_distributed`` — the cluster path: the SAME cursor walk runs
+  inside ``applyInPandas`` grouped by the index's ``part`` buckets (disjoint
+  sorted doc-id ranges by construction — build.py:15-28), each bucket
+  emitting its local exact top-k, and the driver merges ≤ parts·k tiny rows.
+  Nothing bigger than (num_parts × k) rows ever reaches the driver — a hot
+  term's gigabytes of blocks stay on the executors. Exactness: per-part WAND
+  with θ=-inf is exact within the part (less pruning than a shared θ, never
+  less correct), parts partition the doc space, and per-doc float summation
+  runs in ascending-term order in both paths, so ranks AND scores are
+  bit-identical to the driver walk (asserted in tests/test_index.py).
 """
 
 from __future__ import annotations
@@ -155,8 +163,53 @@ class IndexReader:
         ]
         return _wand_topk(cursors, k)
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        hits = self.search_wand(query, k)
+    def search_wand_distributed(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-max WAND with the cursor walk on the executors.
+
+        One ``applyInPandas`` group per index ``part`` bucket (disjoint doc-id
+        ranges), local exact top-k per bucket, driver k-way merge of
+        ≤ parts·k rows. Rank- and score-identical to :meth:`search_wand`."""
+        terms = sorted(set(tokenize(query)))
+        idfs = self.idfs(terms)
+        if not idfs:
+            return []
+        avgdl = self.avgdl
+        blocks = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(list(idfs)))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+        )
+
+        def _part_topk(pdf):
+            import pandas as pd
+
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            cursors = [
+                _Cursor(t, idfs[t], by_term[t], avgdl)
+                for t in sorted(by_term)
+            ]
+            hits = _wand_topk(cursors, k)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]},
+                columns=["doc_id", "score"],
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        local = blocks.groupBy("part").applyInPandas(
+            _part_topk, schema="doc_id long, score double"
+        ).collect()
+        merged = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+        return [(int(r["doc_id"]), float(r["score"])) for r in merged]
+
+    def search(self, query: str, k: int = 10, *, distributed: bool = False) -> DataFrame:
+        hits = (
+            self.search_wand_distributed(query, k)
+            if distributed else self.search_wand(query, k)
+        )
         return self.spark.createDataFrame(
             [(int(d), float(s), r + 1) for r, (d, s) in enumerate(hits)],
             "doc_id long, score double, rank int",

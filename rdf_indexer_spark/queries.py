@@ -322,13 +322,17 @@ def q_bm25_scores(spark, sf):
 
 def q_text_size_windows(spark, sf):
     """J-8: max total text bytes over windows of 100 consecutive docs
-    (RDFCompare.java:119-145 windowed running-size stats)."""
-    w = Window.orderBy("doc_id")
-    numbered = load(spark, sf, "documents").select(
-        "doc_id", F.length("text").alias("tlen")
-    ).withColumn("rn", F.row_number().over(w) - 1)
+    (RDFCompare.java:119-145 windowed running-size stats).
+
+    doc_ids are dense 0..N-1 by construction (docids.assign_doc_ids), so the
+    window id is ``floor(doc_id/100)`` — a plain groupBy, NO global-order
+    window (an unpartitioned ``Window.orderBy`` executes as a single-task
+    sort: the r1 scale-killer this replaces). For non-dense keys the same
+    shape comes from compare.uri_order_rank (range-partition + offsets)."""
     return (
-        numbered.groupBy((F.col("rn") / 100).cast("bigint").alias("window_id"))
+        load(spark, sf, "documents")
+        .select("doc_id", F.length("text").alias("tlen"))
+        .groupBy(F.floor(F.col("doc_id") / 100).cast("bigint").alias("window_id"))
         .agg(
             F.sum("tlen").cast("bigint").alias("window_bytes"),
             F.max("tlen").cast("bigint").alias("max_doc_bytes"),
@@ -362,6 +366,20 @@ def q_bm25_topk_wand(spark, sf):
 
     reader = IndexReader(spark, _index_for(spark, sf))
     hits = reader.search_wand(" ".join(BM25_QUERY_TERMS), 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_wand_dist(spark, sf):
+    """Q-9 through the DISTRIBUTED WAND path: the block-max cursor walk runs
+    per part bucket on the executors (applyInPandas), the driver merges
+    ≤ parts·k rows — the 100-TB query shape (no block bytes reach the
+    driver). Oracle: the same from-scratch SQL BM25 top-10."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_wand_distributed(" ".join(BM25_QUERY_TERMS), 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     ).select("doc_id", F.round("score", 4).alias("score"))
@@ -402,17 +420,27 @@ def q_ann_cosine(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# Spark-only operators (no SQL-expressible oracle → rows-only checks;
-# each has its own pytest oracle instead)
+# LSH / sketch operators — all ORACLE-checked since r2: the candidate
+# generation is Spark-only (banding / chunk joins) but the CONTRACT of each
+# query is exactly restateable as brute-force SQL, and on the deterministic
+# sandbox corpora the LSH recall is exactly 1 (asserted in pytest with the
+# ground truth), so engine output ≡ the brute-force oracle.
 # --------------------------------------------------------------------------
 
 def q_minhash_neardup(spark, sf):
-    from .textops import minhash_near_duplicates
+    """MinHash+LSH near-dup pairs verified by EXACT distinct-3-gram Jaccard
+    ≥ 0.8. Oracle: brute-force all-pairs Jaccard in DuckDB."""
+    from .textops import minhash_near_duplicates_exact
 
-    return minhash_near_duplicates(load(spark, sf, "documents"), jaccard_threshold=0.5)
+    return minhash_near_duplicates_exact(
+        load(spark, sf, "documents"), jaccard_threshold=0.8
+    )
 
 
 def q_simhash_neardup(spark, sf):
+    """SimHash (60-bit, cross-engine md5 token hashes) pairs with Hamming ≤ 8
+    among chunk-bucket candidates. Oracle: all-pairs simhash recomputed in
+    SQL with the identical bit-vote, candidate rule and Hamming filter."""
     from .textops import simhash_near_duplicates
 
     return simhash_near_duplicates(load(spark, sf, "documents"), max_hamming=8)
@@ -427,6 +455,8 @@ def q_langid(spark, sf):
 
 
 def q_fingerprints(spark, sf):
+    """Winnowing fingerprint counts (k=5 grams, window 4, md5-60 hashes) —
+    restated gram-for-gram in the DuckDB oracle."""
     from .textops import fingerprints
 
     return fingerprints(load(spark, sf, "documents")).select(
@@ -434,13 +464,26 @@ def q_fingerprints(spark, sf):
     )
 
 
+ANN_LSH_TABLES = 2
+ANN_LSH_BITS = 8
+
+
 def q_ann_lsh(spark, sf):
+    """Hyperplane-LSH ANN: top-10 by exact cosine among the multiprobe
+    (radius-1) bucket candidates. The md5-derived Box-Muller hyperplanes
+    make the WHOLE pipeline — planes, sign signatures, probe set, candidate
+    join, re-rank — restateable in the DuckDB oracle, so this checks the
+    real LSH semantics (recall vs brute force is a quality metric, reported
+    separately by bench.py)."""
     from .similarity import lsh_index, lsh_topk
 
     emb = load(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    idx = lsh_index(emb, dim=len(qvec))
-    return lsh_topk(idx, qvec, dim=len(qvec), k=10)
+    idx = lsh_index(emb, dim=len(qvec), n_tables=ANN_LSH_TABLES, n_bits=ANN_LSH_BITS)
+    return lsh_topk(
+        idx, qvec, dim=len(qvec), k=10,
+        n_tables=ANN_LSH_TABLES, n_bits=ANN_LSH_BITS,
+    ).select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
 def q_rdf_documents(spark, sf):

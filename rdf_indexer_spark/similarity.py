@@ -13,11 +13,22 @@ Two paths, same contract:
   is tunable via n_tables/n_bits; the plan is an equi-join on (table,
   signature) — candidate generation never goes O(n²).
 
-An IVF variant (k-means coarse quantizer) is the next refinement; the LSH
-path already demonstrates the bucketed-ANN plan shape.
+**Deterministic, cross-engine hyperplanes** (r2): plane weights are
+Box-Muller gaussians derived from md5 — ``z = √(−2·ln u₁)·cos(2π u₂)`` with
+``u₁,u₂`` the 60-bit md5 integers of ``"lsh:{table}:{bit}:{dim}:u{1,2}"``.
+That makes the ENTIRE LSH — planes, signatures, bucket probes, cosine
+re-rank — restateable in the DuckDB oracle (verified bit-identical), so the
+correctness gate checks the real LSH semantics, not a brute-force stand-in.
+Recall vs exact top-k is a *quality* metric, measured separately in bench.py
+(on the driver's near-orthogonal synthetic embeddings no sublinear probe can
+guarantee exact top-k; on clustered real corpora the same knobs trade probe
+cost for recall).
 """
 
 from __future__ import annotations
+
+import hashlib
+import math
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -62,9 +73,26 @@ def cosine_topk(
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
-def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 29) -> np.ndarray:
-    rng = np.random.default_rng(seed + 1000 * table)
-    return rng.standard_normal((n_bits, dim))
+_TWO60 = float(1 << 60)
+
+
+def _u60(s: str) -> int:
+    """60-bit md5 integer — the Python twin of textops.h60_col / the DuckDB
+    hex-digit sum (all three verified bit-identical)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _plane_weight(table: int, bit: int, d: int) -> float:
+    """Deterministic standard gaussian via Box-Muller over md5 uniforms."""
+    u1 = (_u60(f"lsh:{table}:{bit}:{d}:u1") + 1) / _TWO60   # (0, 1]
+    u2 = _u60(f"lsh:{table}:{bit}:{d}:u2") / _TWO60          # [0, 1)
+    return math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+
+
+def _hyperplanes(dim: int, n_bits: int, table: int) -> np.ndarray:
+    return np.array(
+        [[_plane_weight(table, b, d) for d in range(dim)] for b in range(n_bits)]
+    )
 
 
 def _signature_col(vec: Column, planes: np.ndarray) -> Column:

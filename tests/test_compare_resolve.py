@@ -124,3 +124,31 @@ def test_resolve_references(spark):
     assert json.loads(child1["fields"]["isPartOf"][0])["title"] == ["Parent"]
     # untouched doc passes through
     assert out.filter(F.col("uri") == "http://x/child2").collect()[0]["fields"]["title"] == ["C2"]
+
+
+def test_global_order_rank_matches_global_window(spark):
+    """global_order_rank (range-partition + offsets, parallel) must equal the
+    single-task Window.orderBy rank it replaces — and must not put the full
+    relation through a single-partition exchange."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rdf_indexer_spark.compare import global_order_rank
+
+    rng = random.Random(11)
+    keys = [f"uri-{rng.randrange(10**9):09d}" for _ in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["uri"]).repartition(13)
+
+    got = {r["uri"]: r["rn"] for r in global_order_rank(df, "uri").collect()}
+    w = Window.orderBy("uri")
+    want = {r["uri"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()}
+    assert got == want
+
+    # plan check: the wide relation is range-partitioned, never collapsed to
+    # a single partition (the only SinglePartition allowed is the tiny
+    # per-partition-counts window, whose input is ~num_partitions rows)
+    plan = global_order_rank(df, "uri")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(uri" in plan.lower()

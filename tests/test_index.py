@@ -132,7 +132,27 @@ def test_zero_hit_query(spark, index_dir):
 
     reader = IndexReader(spark, index_dir)
     assert reader.search_wand("zzznothing", 10) == []
+    assert reader.search_wand_distributed("zzznothing", 10) == []
     assert reader.score_exhaustive("zzznothing", 10).count() == 0
+
+
+def test_distributed_wand_identity(spark, tmp_path):
+    """The executor-side WAND (applyInPandas per part bucket + driver k-way
+    merge) must be rank- AND score-identical (bit-exact) to the driver cursor
+    walk at every bucketing — VERDICT r1 item #1."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    docs = spark.createDataFrame(_synth_docs(n=300), ["doc_id", "text"])
+    for nb in (1, 4, 16):
+        out = str(tmp_path / f"dw{nb}")
+        build_index(spark, docs, out, num_buckets=nb, resume=False)
+        reader = IndexReader(spark, out)
+        for q in K_QUERIES:
+            for k in (1, 10, 50):
+                drv = reader.search_wand(q, k)
+                dist = reader.search_wand_distributed(q, k)
+                assert dist == drv, (nb, q, k)  # docIDs AND exact doubles
 
 
 def test_resume_without_recompute(spark, tmp_path):
