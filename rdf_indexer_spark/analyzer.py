@@ -29,7 +29,9 @@ import pandas as pd
 try:  # Spark is optional at import time so pure functions stay testable alone
     from pyspark.sql import Column
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, IntegerType, StringType
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
 
     HAVE_SPARK = True
 except ImportError:  # pragma: no cover
@@ -258,6 +260,30 @@ def clean_field_value(value: str) -> str:
     return strip_unknown_utf8(data)
 
 
+def clean_field_value_errors(value: str) -> tuple[str, list[str]]:
+    """The addFieldEntry chain WITH the reference's error messages.
+
+    Escape removals log ``Removed potentially invalid escape sequece [..]``
+    (TextUtils.java:101-102 — the "sequece" typo is the reference's,
+    preserved for report parity); U+FFFD positions log
+    ``Removed invalid UTF-8 character at position N of field text`` with the
+    ±25-char snippet (TextUtils.java:56-61). Positions are measured after
+    escape-strip + whitespace-normalize, matching the chain order at
+    NinesStatementHandler.java:797-799."""
+    msgs: list[str] = []
+    data, removed = strip_escape_sequences(value)
+    msgs.extend(
+        f"Removed potentially invalid escape sequece [{bad}]" for bad in removed
+    )
+    data = normalize_whitespace(data)
+    msgs.extend(
+        f"Removed invalid UTF-8 character at position {pos} of field text"
+        f"\n  Snippet: [{snip}]"
+        for pos, snip in find_unknown_utf8(data)
+    )
+    return strip_unknown_utf8(data), msgs
+
+
 def clean_raw_text(content: str, archive: str = "", custom_cleaner=None) -> str:
     """Full raw-text clean chain (RawTextCleaner.java:92-109, order exact):
     strip U+FFFD → optional custom cleaner → HTML strip → escapes → whitespace.
@@ -315,3 +341,34 @@ if HAVE_SPARK:
         """
         fast = strip_unknown_utf8_col(normalize_whitespace_col(col))
         return F.when(col.contains("&"), clean_field_value_udf(col)).otherwise(fast)
+
+    _CLEAN_ERRS_TYPE = StructType([
+        StructField("value", StringType()),
+        StructField("errs", ArrayType(StringType())),
+    ])
+
+    @pandas_udf(_CLEAN_ERRS_TYPE)
+    def clean_field_value_errors_udf(s: pd.Series) -> pd.DataFrame:
+        vals, errs = [], []
+        for v in s:
+            if v is None:
+                vals.append(None)
+                errs.append([])
+            else:
+                c, m = clean_field_value_errors(v)
+                vals.append(c)
+                errs.append(m)
+        return pd.DataFrame({"value": vals, "errs": errs})
+
+    def clean_field_value_with_errors_col(col: "Column") -> "Column":
+        """Like :func:`clean_field_value_col` but yielding
+        ``struct(value, errs)`` so T-2/T-3 error rows reach the distributed
+        error stream. The Arrow UDF runs only on rows that can possibly emit
+        an error or need the escape chain ('&' or U+FFFD present); everything
+        else takes the JVM-native fast path with an empty error array."""
+        fast = F.struct(
+            strip_unknown_utf8_col(normalize_whitespace_col(col)).alias("value"),
+            F.array().cast("array<string>").alias("errs"),
+        )
+        needs_udf = col.contains("&") | col.contains("�")
+        return F.when(needs_udf, clean_field_value_errors_udf(col)).otherwise(fast)

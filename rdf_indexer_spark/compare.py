@@ -14,9 +14,24 @@ Message strings mirror ``RDFCompare.java:443-530,560-658``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
+
+
+@pandas_udf(StringType())
+def _mismatch_message_udf(
+    uri: pd.Series, new_txt: pd.Series, old_txt: pd.Series
+) -> pd.Series:
+    """Arrow-batched and applied ONLY to mismatching rows (rare), replacing
+    the r1 split-to-char-arrays prefix diff that amplified memory ~10× on
+    book-sized texts inside the join stage."""
+    return pd.Series(
+        [mismatch_message(u, n, o) for u, n, o in zip(uri, new_txt, old_txt)]
+    )
 
 # RDFCompare.java:474-476 — never compared
 SKIP_FIELDS = ["score", "date_updated", "date_created", "_version_"]
@@ -163,12 +178,8 @@ def compare_archives(
         & (processed_text(new_txt) != processed_text(old_txt))
     ).select(
         "uri",
-        F.concat(
-            F.lit("==== "), F.col("uri"), F.lit(" mismatch at col "),
-            _first_diff_pos(processed_text(new_txt), processed_text(old_txt)).cast("string"),
-            F.lit(": (new "), F.length(processed_text(new_txt)).cast("string"),
-            F.lit(") vs (old "), F.length(processed_text(old_txt)).cast("string"),
-            F.lit(")"),
+        _mismatch_message_udf(
+            F.col("uri"), processed_text(new_txt), processed_text(old_txt)
         ).alias("message"),
     )
     txt_errors = flag_errors.unionByName(txt_mismatch)
@@ -181,13 +192,54 @@ def compare_archives(
     }
 
 
-def _first_diff_pos(a: Column, b: Column) -> Column:
-    """Position of the first differing character (StringUtils.indexOfDifference
-    equivalent), native: length of the longest common prefix."""
-    n = F.least(F.length(a), F.length(b))
-    mism = F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y)
-    first = F.array_position(mism, True)
-    return F.when(first > 0, first - 1).otherwise(n)
+def index_of_difference(a: str, b: str) -> int:
+    """StringUtils.indexOfDifference: index where the strings start to
+    differ; -1 if equal (the length of the shorter if one is a prefix)."""
+    if a == b:
+        return -1
+    n = min(len(a), len(b))
+    for i in range(n):
+        if a[i] != b[i]:
+            return i
+    return n
+
+
+def _bytes_string(text: str) -> str:
+    """RDFCompare.getBytesString:645-658: DECIMAL byte values of the UTF-8
+    encoding, space-separated, appending stops once the string is > 45
+    chars (checked after each append — the reference's exact loop)."""
+    out = []
+    total = 0
+    for byte in text.encode("utf-8"):
+        tok = str(byte) + " "
+        out.append(tok)
+        total += len(tok)
+        if total > 45:
+            break
+    return "".join(out)
+
+
+def mismatch_message(uri: str, new_txt: str, old_txt: str) -> str:
+    """J-5: the full logMismatchedText block (RDFCompare.java:628-643):
+    first-diff position backed up 4 chars, 51-char context windows from both
+    sides, and the decimal byte dumps of each window. One string, lines
+    joined with \\n (the reference writes one log line each).
+
+    Deviation (documented): positions are Python code points, the reference
+    counts Java UTF-16 chars — identical except astral-plane text."""
+    pos = max(0, index_of_difference(new_txt, old_txt) - 4)
+    new_sub = new_txt[pos: min(pos + 51, len(new_txt))]
+    old_sub = old_txt[pos: min(pos + 51, len(old_txt))]
+    return "\n".join([
+        f"==== {uri} mismatch at line 0 col {pos}:",
+        f"(new {len(new_txt)})",
+        new_sub,
+        "-- vs --",
+        f"(old {len(old_txt)})",
+        old_sub,
+        "NEW: " + _bytes_string(new_sub),
+        "OLD: " + _bytes_string(old_sub),
+    ])
 
 
 def global_order_rank(

@@ -357,6 +357,26 @@ def route_triples(
     return entries, errors, links
 
 
+def safe_archive(archive: str) -> str:
+    """T-10 (RDFIndexerConfig.safeArchive:154-159): ':', ' ' and ',' → '_'
+    so the archive name is usable as a core/table name."""
+    return archive.replace(":", "_").replace(" ", "_").replace(",", "_")
+
+
+def safe_archive_col(col: Column) -> Column:
+    x = F.replace(col, F.lit(":"), F.lit("_"))
+    x = F.replace(x, F.lit(" "), F.lit("_"))
+    return F.replace(x, F.lit(","), F.lit("_"))
+
+
+def archive_core_name(archive: str) -> str:
+    """RDFIndexerConfig.coreName:147-152: pages_* archives keep their name,
+    everything else gets the ``archive_`` prefix."""
+    if archive.startswith("pages_"):
+        return safe_archive(archive)
+    return "archive_" + safe_archive(archive)
+
+
 def escaped_text_name(col: Column) -> Column:
     """T-9 URI→filename escaping (NinesStatementHandler.java:626-630)."""
     x = F.replace(col, F.lit("/"), F.lit("SL"))
@@ -447,12 +467,25 @@ def assemble_documents(
         fulltext_df=fulltext_df, corrected_df=corrected_df,
     )
 
-    # value cleaning (the addFieldEntry chain) where the handler cleans
+    # value cleaning (the addFieldEntry chain) where the handler cleans.
+    # T-2/T-3 fidelity: the chain also emits the reference's per-removal
+    # error rows (escape sequences, U+FFFD position+snippet) into the
+    # distributed error stream (TextUtils.java:40-64,78-118).
+    from .analyzer import clean_field_value_with_errors_col
+
     entries = entries.withColumn(
-        "value",
-        F.when(F.col("clean"), clean_field_value_col(F.col("value")))
-        .otherwise(F.col("value")),
+        "_cl",
+        F.when(F.col("clean"), clean_field_value_with_errors_col(F.col("value")))
+        .otherwise(F.struct(
+            F.col("value").alias("value"),
+            F.array().cast("array<string>").alias("errs"),
+        )),
     )
+    clean_errors = entries.filter(F.size("_cl.errs") > 0).select(
+        "file", F.col("subject").alias("uri"),
+        F.explode("_cl.errs").alias("message"),
+    )
+    entries = entries.withColumn("value", F.col("_cl.value")).drop("_cl")
 
     # addFieldIfUnique: first occurrence per (doc, field, value) wins
     w_unique = Window.partitionBy("file", "subject", "field", "value").orderBy("skey")
@@ -506,7 +539,8 @@ def assemble_documents(
         F.lit("No objects in this file.").alias("message"),
     )
 
-    errors = route_errors.unionByName(dup_errors).unionByName(empty_files)
+    errors = route_errors.unionByName(dup_errors).unionByName(empty_files) \
+        .unionByName(clean_errors)
     if parse_errors is not None:
         errors = parse_errors.unionByName(errors)
 

@@ -20,10 +20,17 @@ def assign_doc_ids(
     key_cols: list[str],
     num_buckets: int = 256,
     out_col: str = "doc_id",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add a dense, deterministic ``doc_id`` ordered by ``key_cols``
     within hash buckets (globally unique, NOT globally key-ordered —
-    global order is never required by the index, only stability)."""
+    global order is never required by the index, only stability).
+
+    ``tiebreak_cols`` extends the in-bucket ordering so rows whose
+    ``key_cols`` are NOT unique (e.g. the same URI emitted by two RDF
+    files, which the pipeline surfaces as 'Duplicate URI' errors) still get
+    run-stable relative ids — otherwise the doc_id↔row mapping could vary
+    across runs and break rank determinism."""
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
     with_bucket = df.withColumn("_b", bucket)
     counts = {
@@ -38,7 +45,9 @@ def assign_doc_ids(
     offset_map = F.create_map(
         *[F.lit(x) for b in range(num_buckets) for x in (b, offsets[b])]
     )
-    w = Window.partitionBy("_b").orderBy(*key_cols)
+    order = [F.col(c) for c in key_cols]
+    order += [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy("_b").orderBy(*order)
     return (
         with_bucket.withColumn("_rn", F.row_number().over(w))
         .withColumn(

@@ -69,7 +69,22 @@ def index_rdf_corpus(
     )
     text = to_solr_string(F.element_at(F.col("fields"), F.lit("text")))
     flat = docs.select(
-        "uri", F.coalesce(text, F.lit("")).alias("text")
+        "file", "uri", F.coalesce(text, F.lit("")).alias("text")
+    )
+    # uri is the index's unique key (Solr overwrite semantics): when the
+    # same uri arrives from multiple files — already surfaced upstream as
+    # 'Duplicate URI' errors — exactly one deterministic winner is indexed
+    # (last file name wins, content sha as final tiebreak), so doc ids and
+    # ranks are stable across runs and partitionings.
+    from pyspark.sql.window import Window
+
+    w_dup = Window.partitionBy("uri").orderBy(
+        F.desc("file"), F.desc(F.sha2("text", 256))
+    )
+    flat = (
+        flat.withColumn("_dup", F.row_number().over(w_dup))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup", "file")
     )
     flat = assign_doc_ids(flat, ["uri"])
     summary = build_index(
@@ -91,7 +106,12 @@ def index_code_corpus(
     lang, content) → inverted index keyed by dense doc ids over the natural
     key. The doc store carries (repo, path, commit, lang) plus the per-row
     content sha256 the invariant checks against the source table."""
-    docs = assign_doc_ids(repos_df, ["repo", "path", "commit"])
+    # natural key should be unique; content sha tiebreak keeps ids
+    # run-stable even if a malformed input repeats a key
+    docs = assign_doc_ids(
+        repos_df, ["repo", "path", "commit"],
+        tiebreak_cols=["content"],
+    )
     return build_index(
         spark,
         docs.select("doc_id", F.col("content").alias("text"),

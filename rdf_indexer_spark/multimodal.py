@@ -1,9 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, partition-preserving
-``mapInPandas`` kernels, Arrow batch shapes; the actual media decode is
-stubbed deterministically (image/audio libraries are not in this container),
-clearly marked, and swappable for PIL/ffmpeg kernels on a real cluster.
+The Spark-side plumbing — schema, partition-preserving ``mapInPandas``
+kernels, Arrow batch shapes — is real and tested. Decode status (r2):
+
+* REAL, pure numpy/stdlib (no media libs needed): PPM ``P6`` images,
+  uncompressed 24-bit ``BI_RGB`` BMP images, PCM-16 WAV audio — parsed
+  byte-for-byte (:func:`decode_ppm` / :func:`decode_bmp` /
+  :func:`decode_wav`), plus nearest-neighbor resize + PPM re-encode.
+* STUBBED, clearly marked: every other codec (JPEG/PNG/MP3/video frames)
+  falls back to :func:`_decode_stub`, deterministic in the payload bytes,
+  swappable for PIL/ffmpeg kernels on a real cluster.
 
 Layout convention (matches common lakehouse practice):
     media(doc_id long, kind string, payload binary,
@@ -28,8 +34,123 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "doc_id long, kind string, feature array<float>, feat_dim int"
 
 
+# ---------------------------------------------------------------------------
+# real decoders (pure numpy / stdlib byte parsing)
+# ---------------------------------------------------------------------------
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (``P6``, maxval ≤ 255) → (H, W, 3) uint8. Handles
+    ``#`` comments and arbitrary whitespace in the header."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens, # comments run to newline
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(data):
+        c = data[i:i + 1]
+        if c == b"#":
+            i = data.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j:j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    i += 1  # exactly one whitespace byte after maxval
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM ``P6``."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit ``BI_RGB`` BMP → (H, W, 3) uint8 RGB.
+
+    Rows are 4-byte padded and stored bottom-up (negative biHeight =
+    top-down); pixels are BGR on disk."""
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    offset = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM-16 WAV → (float32 samples in [-1, 1) shaped (n, channels),
+    sample_rate). Walks RIFF chunks; only ``fmt `` format 1 / 16-bit."""
+    if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(body[0:2], "little"),    # audio format
+                int.from_bytes(body[2:4], "little"),    # channels
+                int.from_bytes(body[4:8], "little"),    # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    samples = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+    return samples.reshape(-1, channels), rate
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure indexing."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Route to a real decoder by magic bytes; unknown codecs fall back to
+    the clearly-marked deterministic stub."""
+    if kind == "image":
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload).astype(np.float32) / 255.0
+        if payload.startswith(b"BM"):
+            return decode_bmp(payload).astype(np.float32) / 255.0
+    if kind == "audio" and payload.startswith(b"RIFF"):
+        samples, _ = decode_wav(payload)
+        return samples.reshape(-1)
+    return _decode_stub(payload, kind)
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB: deterministic fake decode (no media libs in this container).
+    """STUB for codecs with no in-container decoder (JPEG/PNG/MP3/...).
 
     Real deployment swaps this for PIL.Image.open / soundfile.read — the
     surrounding Arrow batching, schema, and partitioning do not change.
@@ -52,7 +173,7 @@ def extract_features(media: DataFrame, batch_limit: int = 1024) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                arr = _decode_stub(bytes(payload), kind)
+                arr = decode_media(bytes(payload), kind)
                 pooled = arr.reshape(-1)[:32].astype(np.float32)
                 feats.append(pooled.tolist())
             yield pd.DataFrame({
@@ -81,17 +202,34 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing via mapInPandas (decode+resize stubbed)."""
+    """Image resize via mapInPandas. PPM/BMP payloads are REALLY decoded,
+    nearest-neighbor resized, and re-encoded as PPM; undecodable codecs pass
+    through with only the metadata updated (stub behavior, documented)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            metas = []
-            for m in pdf["meta"]:
+            metas, payloads = [], []
+            for m, payload in zip(pdf["meta"], pdf["payload"]):
                 d = dict(m) if m is not None else {}
                 d["width"], d["height"] = width, height
+                b = bytes(payload)
+                try:
+                    if b.startswith(b"P6"):
+                        img = decode_ppm(b)
+                    elif b.startswith(b"BM"):
+                        img = decode_bmp(b)
+                    else:
+                        img = None
+                except ValueError:
+                    img = None
+                if img is not None:
+                    b = encode_ppm(resize_nearest(img, width, height))
+                    d["codec"] = "ppm"
                 metas.append(d)
+                payloads.append(b)
             out["meta"] = metas
+            out["payload"] = payloads
             yield out
 
     return media.filter(F.col("kind") == "image").mapInPandas(

@@ -129,6 +129,33 @@ def _parse_property_element(subject: str, elem: ET.Element, sink: _TripleSink) -
         sink.emit(subject, predicate, elem.text or "", True)
 
 
+def find_invalid_escapes(content: str, file_name: str) -> list[dict[str, Any]]:
+    """T-4: flag potentially invalid escape sequences in the RAW content
+    (RdfDocumentParser.java:115-130): unescape XML entities, then every
+    remaining ``&#`` — e.g. a double-escaped ``&amp;#38;`` or a malformed
+    reference that survived unescaping — is reported with its position and
+    a ±25-char snippet, scanning onward from pos+2."""
+    from .analyzer import unescape_xml
+
+    unescaped = unescape_xml(content)
+    errors: list[dict[str, Any]] = []
+    start = 0
+    while True:
+        pos = unescaped.find("&#", start)
+        if pos == -1:
+            break
+        snip = unescaped[max(0, pos - 25): min(len(unescaped), pos + 25)]
+        errors.append({
+            "file": file_name, "uri": "",
+            "message": (
+                "Potentially Invalid Escape sequence.\n   Position: ["
+                f"{pos}]\n   Snippet: [{snip}]"
+            ),
+        })
+        start = pos + 2
+    return errors
+
+
 def parse_rdfxml(
     content: str, file_name: str
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
@@ -137,9 +164,10 @@ def parse_rdfxml(
     Returns (triples, errors). The base URI for relative references is
     ``http://foo/<file>`` exactly as the reference passes it
     (``RdfDocumentParser.java:63``) — V-7 validation later flags any URI that
-    still carries this fallback base.
-    """
-    errors: list[dict[str, Any]] = []
+    still carries this fallback base. Raw content is first scanned for
+    potentially invalid escapes (T-4, RdfDocumentParser.validateContent);
+    those errors never abort the parse."""
+    errors: list[dict[str, Any]] = list(find_invalid_escapes(content, file_name))
     sink = _TripleSink(file_name, "http://foo/" + file_name)
     try:
         root = ET.fromstring(content)

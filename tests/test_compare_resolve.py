@@ -72,7 +72,7 @@ def test_compare_text_path(spark):
     ])
     res = compare_archives(new, old)
     msgs = [r["message"] for r in res["txt_errors"].collect()]
-    assert any("mismatch at col" in m for m in msgs)
+    assert any("mismatch at line 0 col" in m for m in msgs)
     assert any("text field has disappeared" in m for m in msgs)
 
 

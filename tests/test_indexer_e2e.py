@@ -150,3 +150,53 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_duplicate_uri_deterministic_winner(spark, tmp_path):
+    """Same URI from two files: exactly one doc is indexed (Solr unique-key
+    overwrite semantics), the winner is deterministic (last file name,
+    content-sha tiebreak), and doc ids are stable across runs."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.indexer import index_rdf_corpus
+
+    tmpl = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:collex="http://www.collex.org/schema#"
+         xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <collex:work rdf:about="http://t/dup">
+    <collex:archive>test</collex:archive>
+    <collex:federation>NINES</collex:federation>
+    <dc:title>T</dc:title>
+    <collex:text>{text}</collex:text>
+  </collex:work>
+</rdf:RDF>"""
+    files = [
+        ("a.rdf", tmpl.replace("{text}", "first version wordone")),
+        ("b.rdf", tmpl.replace("{text}", "second version wordtwo")),
+    ]
+
+    def build(path, order):
+        files_df = spark.createDataFrame(
+            [files[i] for i in order], ["file", "content"]
+        ).repartition(len(order))
+        errors, summary = index_rdf_corpus(
+            spark, files_df, path, num_buckets=2, resume=False
+        )
+        return errors, summary
+
+    idx1 = str(tmp_path / "i1")
+    errors, summary = build(idx1, [0, 1])
+    assert summary["rows"] == 1  # one winner indexed
+    # NOTE: cross-file duplicates are NOT errors in the reference either —
+    # the handler's duplicate check is per file (NinesStatementHandler.java:
+    # 88-91); across files Solr silently overwrites on the unique key.
+    errors.collect()
+
+    r1 = IndexReader(spark, idx1)
+    assert r1.search_wand("wordtwo", 5)   # b.rdf (last file name) won
+    assert not r1.search_wand("wordone", 5)
+
+    # input order / partitioning must not change the winner or ids
+    idx2 = str(tmp_path / "i2")
+    build(idx2, [1, 0])
+    r2 = IndexReader(spark, idx2)
+    assert r2.search_wand("wordtwo", 5) == r1.search_wand("wordtwo", 5)
