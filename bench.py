@@ -90,6 +90,12 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         for name, q in WAND_QUERIES.items():
             dt, _ = _t(lambda q=q: reader.search_wand(q, 10))
             timings[f"wand_{name}"] = round(dt, 3)
+        # executor-side WAND (the 100-TB query shape): same queries through
+        # applyInPandas-per-bucket + driver k-way merge
+        for name in ("q_rare", "q_hot", "q_mixed"):
+            q = WAND_QUERIES[name]
+            dt, _ = _t(lambda q=q: reader.search_wand_distributed(q, 10))
+            timings[f"wand_dist_{name}"] = round(dt, 3)
         dt, _ = _t(lambda: reader.score_exhaustive("window shuffle join", 10).collect())
         timings["bm25_exhaustive"] = round(dt, 3)
 
@@ -108,6 +114,19 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         for name, fn in headline.items():
             dt, _ = _t(lambda fn=fn: fn(spark, sf_dir).count())
             timings[name] = round(dt, 3)
+
+        # ANN quality: mean recall@10 of multiprobe LSH vs exact top-10 over
+        # 50 query vectors (two batched jobs) — the number that says whether
+        # the LSH index is any good, reported alongside its cost
+        from pyspark.sql import functions as F
+
+        from rdf_indexer_spark.similarity import lsh_recall_at_k
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        dt, recall = _t(lambda: lsh_recall_at_k(
+            emb, n_queries=50, k=10, n_tables=2, n_bits=8))
+        timings["ann_lsh_recall_job"] = round(dt, 3)
+        ann_recall = round(recall, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -121,6 +140,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,
+        "ann_lsh_recall_at_10": ann_recall,
     }
 
 
@@ -128,22 +148,61 @@ SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "24"))
 
 
 def _scaling_child(sf_dir: str, cpus: int) -> dict:
-    """Runs in a fresh process (cold JVM): index build only, at a corpus
-    size where parallel work dominates fixed overhead."""
+    """Runs in a fresh process (cold JVM). Measures the full index build
+    PLUS isolated per-stage jobs so the parent can report which stages
+    scale: tokenize (narrow, CPU-dominant regex), postings (adds the
+    explode + groupBy shuffle), full build (adds pack + write)."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.analyzer import tokenize_col
     from rdf_indexer_spark.session import get_spark
 
     spark = get_spark(cpus=cpus, app_name=f"bench-scaling-{cpus}")
     spark.range(10_000).count()  # JVM warmup outside the timed section
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_base = docs.count()
+    reps = spark.range(SCALING_REPLICATE).select(F.col("id").alias("rep"))
+    docs = docs.repartition(64).crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * n_base).alias("doc_id"), "text"
+    )
+    toks = tokenize_col(F.col("text"))
+
+    stages: dict[str, float] = {}
+    volumes: dict[str, int] = {}
+    # text bytes scanned (also warms the OS page cache identically per level)
+    dt, row = _t(lambda: docs.select(
+        F.sum(F.length("text")).alias("b"), F.count("*").alias("n")).collect())
+    volumes["text_bytes"] = int(row[0]["b"])
+    volumes["docs"] = int(row[0]["n"])
+    # stage 1 — NARROW tokenize: regex + array alloc, no shuffle (CPU-bound)
+    dt, _ = _t(lambda: docs.select(F.sum(F.size(toks))).collect())
+    stages["tokenize"] = dt
+    # stage 2 — tokenize + explode + groupBy(term, doc) partial-agg shuffle
+    dt, row = _t(lambda: docs.select(F.explode(toks).alias("term"), "doc_id")
+                 .groupBy("term", "doc_id").count()
+                 .agg(F.count("*").alias("n")).collect())
+    stages["postings_shuffle"] = dt
+    volumes["postings"] = int(row[0]["n"])
+    # stage 3 — the full build (adds aligned repartition, block pack, writes)
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix=f"bench_scale_{cpus}_", dir=tmp_root)
     try:
         dt, n_docs = run_index_build(
             spark, sf_dir, tmp, num_buckets=32, replicate=SCALING_REPLICATE
         )
+        stages["full_build"] = dt
+        volumes["index_bytes"] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(tmp) for f in fs
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return {"cpus": cpus, "seconds": dt, "docs": n_docs,
-            "docs_per_sec": n_docs / dt}
+    return {"cpus": cpus, "seconds": stages["full_build"], "docs": n_docs,
+            "docs_per_sec": n_docs / stages["full_build"],
+            "stages": stages, "volumes": volumes}
 
 
 def _memburn(n):
@@ -178,19 +237,18 @@ def _burn_speedup(n_workers_a: int, n_workers_b: int) -> dict:
 
 
 def run_scaling(sf_dir: str, levels=None, rounds: int = 2) -> dict:
-    """N vs 4N parallelism measurement, noise-controlled.
+    """N vs 4N parallelism measurement, noise-controlled, BOTH pairs raw.
 
-    Default levels are (2, 8): the calibration sweep shows this box's 32
-    vCPUs deliver near-linear capacity only up to ~8 workers (SMT siblings /
-    shared tenancy), so 2→8 is the pair where the HARDWARE offers 4×.
-    Host throughput also drifts ±50% over minutes, so the two levels are
-    run INTERLEAVED (N,4N,N,4N…, best per level) and a pure-CPU burn taken
-    in the same window provides the hardware ceiling used to report an
-    engine-normalized efficiency alongside the raw one.
-    """
+    Levels (2, 8, 32) give two N→4N pairs: 2→8 (the region where this box's
+    shared vCPUs still offer ~4× capacity) and 8→32 (the full advertised
+    core count — reported raw, per ADVICE, even though the hardware
+    calibration shows the box saturates past ~8 workers). Host throughput
+    drifts ±50% over minutes, so levels run INTERLEAVED (best per level)
+    and CPU/memory burns measured in the same window give the hardware
+    ceiling for each pair. Per-stage timings expose WHICH stages scale."""
     if levels is None:
         levels = tuple(int(x) for x in os.environ.get(
-            "SPARK_GRAFT_SCALE_LEVELS", "2,8").split(","))
+            "SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
     best: dict[int, dict] = {}
     for _ in range(rounds):
         for cpus in levels:
@@ -202,18 +260,34 @@ def run_scaling(sf_dir: str, levels=None, rounds: int = 2) -> dict:
             r = json.loads(line)
             if cpus not in best or r["seconds"] < best[cpus]["seconds"]:
                 best[cpus] = r
-    hw = _burn_speedup(levels[0], levels[-1])
-    r_n, r_4n = best[levels[0]], best[levels[-1]]
-    eff = (r_4n["docs_per_sec"] / r_4n["cpus"]) / (r_n["docs_per_sec"] / r_n["cpus"])
-    speedup = r_4n["docs_per_sec"] / r_n["docs_per_sec"]
+
+    def _pair(lo: int, hi: int) -> dict:
+        r_n, r_4n = best[lo], best[hi]
+        hw = _burn_speedup(lo, hi)
+        speedup = r_4n["docs_per_sec"] / r_n["docs_per_sec"]
+        eff = speedup / (hi / lo)
+        stage_eff = {
+            s: (r_n["stages"][s] / r_4n["stages"][s]) / (hi / lo)
+            for s in r_n.get("stages", {})
+            if s in r_4n.get("stages", {})
+        }
+        return {
+            "n": lo, "four_n": hi, "speedup": speedup, "efficiency": eff,
+            "stage_efficiency": stage_eff,
+            "hw_cpu_speedup": hw["cpu"], "hw_mem_speedup": hw["mem"],
+            "hw_normalized_efficiency": speedup / hw["mem"] if hw["mem"] else None,
+        }
+
+    pairs = [_pair(levels[i], levels[i + 1]) for i in range(len(levels) - 1)]
+    primary = pairs[-1]  # the full 8→32 pair is the headline raw number
     return {
-        "levels": [r_n, r_4n],
-        "speedup": speedup,
-        "efficiency": eff,
-        "hw_cpu_speedup": hw["cpu"],
-        "hw_mem_speedup": hw["mem"],
-        # a table engine streams memory; DRAM bandwidth is the honest ceiling
-        "hw_normalized_efficiency": speedup / hw["mem"] if hw["mem"] else None,
+        "levels": [best[c] for c in levels],
+        "pairs": pairs,
+        "speedup": primary["speedup"],
+        "efficiency": primary["efficiency"],
+        "hw_cpu_speedup": primary["hw_cpu_speedup"],
+        "hw_mem_speedup": primary["hw_mem_speedup"],
+        "hw_normalized_efficiency": primary["hw_normalized_efficiency"],
     }
 
 
@@ -240,11 +314,10 @@ def hardware_calibration() -> list[tuple[int, float]]:
 
 def write_baseline_md(scaling: dict, bench: dict, calib=None) -> None:
     os.makedirs("BENCH", exist_ok=True)
-    r_n, r_4n = scaling["levels"][0], scaling["levels"][-1]
     calib_rows = ""
     if calib:
         t1 = calib[0][1]
-        calib_rows = "\n".join(
+        rows = "\n".join(
             f"| {w} | {dt:.2f} | {t1/dt:.2f}× |" for w, dt in calib
         )
         calib_rows = f"""
@@ -255,44 +328,80 @@ real parallel capacity the host's 32 vCPUs deliver:
 
 | workers | wall (s) | speedup vs 1 |
 |---|---|---|
-{calib_rows}
+{rows}
 
-The curve saturates past 8 workers (SMT siblings / shared vCPUs), which is
-why the N→4N engine measurement below uses a pair inside the region where
-the hardware itself offers 4× capacity. On a real 4N-executor cluster the
-added parallelism is real cores on separate hosts; this measurement isolates
-the ENGINE's scaling behaviour from the single box's.
+On a real 4N-executor cluster the added parallelism is real cores (and
+memory channels) on separate hosts; the burns quantify how much of the
+advertised 4× this single box actually offers in each window.
 """
+    level_rows = "\n".join(
+        f"| local[{r['cpus']}] | {r['seconds']:.2f} | {r['docs']} | "
+        f"{r['docs_per_sec']:.1f} | {r['docs_per_sec']/r['cpus']:.1f} |"
+        for r in scaling["levels"]
+    )
+    stage_names = list(scaling["levels"][0].get("stages", {}))
+    stage_rows = "\n".join(
+        "| " + s + " | " + " | ".join(
+            f"{r['stages'][s]:.2f}" for r in scaling["levels"]
+        ) + " |"
+        for s in stage_names
+    )
+    pair_sections = []
+    for p in scaling["pairs"]:
+        se = "; ".join(f"{k} {v:.2f}" for k, v in p["stage_efficiency"].items())
+        pair_sections.append(f"""### {p['n']} → {p['four_n']} cores (×{p['four_n']//p['n']})
+
+- engine speedup: **{p['speedup']:.2f}×** → raw efficiency **{p['efficiency']:.2f}**
+- per-stage raw efficiency: {se}
+- hardware capacity measured in the same window: CPU burn
+  {p['hw_cpu_speedup']:.2f}×, memory-streaming burn {p['hw_mem_speedup']:.2f}×
+- engine speedup ÷ memory-bandwidth speedup: {p['hw_normalized_efficiency']:.2f}
+""")
+    vols = scaling["levels"][0].get("volumes", {})
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers
 
 Sandbox evidence for the north rule's two-cluster-size scaling criterion:
 the same index-build job, same input ({bench['sf']} documents replicated
 ×{SCALING_REPLICATE} deterministically so parallel work dominates fixed job
-overhead), at two parallelism levels in fresh JVMs.
-{calib_rows}
-## Engine scaling, N = {r_n['cpus']} → 4N = {r_4n['cpus']} cores
+overhead), at parallelism levels {[r['cpus'] for r in scaling['levels']]} in
+fresh JVMs, levels interleaved (best of {2} rounds per level) because host
+throughput drifts. RAW efficiencies are the primary numbers; hardware burns
+from the same window give the box's actual capacity for context.
+
+Per-stage data volumes (identical at every level): text scanned
+{vols.get('text_bytes', 0):,} bytes across {vols.get('docs', 0):,} docs,
+{vols.get('postings', 0):,} postings, index written
+{vols.get('index_bytes', 0):,} bytes — the tokenize stage streams
+~{vols.get('text_bytes', 0) >> 20} MB of text per pass and the shuffle
+materializes every posting, which is why DRAM bandwidth (not instruction
+throughput) is the binding resource for stages 2-3.
+
+## Engine scaling
 
 | parallelism | wall (s) | docs | docs/sec | docs/sec/core |
 |---|---|---|---|---|
-| local[{r_n['cpus']}] | {r_n['seconds']:.2f} | {r_n['docs']} | {r_n['docs_per_sec']:.1f} | {r_n['docs_per_sec']/r_n['cpus']:.1f} |
-| local[{r_4n['cpus']}] | {r_4n['seconds']:.2f} | {r_4n['docs']} | {r_4n['docs_per_sec']:.1f} | {r_4n['docs_per_sec']/r_4n['cpus']:.1f} |
+{level_rows}
 
-- speedup {r_n['cpus']}→{r_4n['cpus']} cores: **{scaling['speedup']:.2f}×**
-- raw scaling efficiency (per-core throughput ratio): **{scaling['efficiency']:.2f}**
-  (north-rule target ≥ 0.8)
-- hardware capacity ratios measured in the same window,
-  {r_n['cpus']}→{r_4n['cpus']} workers (theoretical {r_4n['cpus']//r_n['cpus']}×):
-  cache-resident CPU burn **{scaling['hw_cpu_speedup']:.2f}×**, memory-streaming
-  burn **{scaling['hw_mem_speedup']:.2f}×** — this host's shared vCPUs saturate
-  DRAM bandwidth long before 4× compute, and a table engine streams memory
-  by nature
-- **hardware-normalized efficiency (engine speedup / memory-bandwidth
-  speedup): {scaling['hw_normalized_efficiency']:.2f}** — the fraction of the
-  parallel capacity the box actually offers that the engine converts; on a
-  real 4N-executor cluster the added executors bring their own memory
-  channels, so the sandbox denominator (not the engine) is the binding
-  constraint here
+Per-stage wall seconds (tokenize = narrow CPU-bound regex; postings_shuffle
+= tokenize + explode + groupBy shuffle; full_build = everything + pack +
+write):
+
+| stage | {' | '.join(f"local[{r['cpus']}]" for r in scaling['levels'])} |
+|---|{'---|' * len(scaling['levels'])}
+{stage_rows}
+
+{chr(10).join(pair_sections)}
+### Reading
+
+The north-rule target is ≥0.8 per-core efficiency N→4N. Raw numbers above
+are the primary evidence. Where a pair misses 0.8 raw, the same-window
+burns show how much parallel capacity the box itself delivered for that
+pair (shared/SMT vCPUs, one memory controller); the per-stage split shows
+the narrow CPU-bound stage scaling best and the shuffle/write stages bound
+by DRAM/IO. On a real cluster each 4N step adds separate hosts with their
+own memory channels — the regime the engine's one-shuffle,
+part-aligned-write design targets.
 
 Full suite timings (local[{bench['cpus']}], {bench['sf']}):
 

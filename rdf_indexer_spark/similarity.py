@@ -134,6 +134,105 @@ def lsh_index(
     return out
 
 
+def cosine_topk_batch(
+    df: DataFrame, queries_df: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for MANY queries in ONE job: broadcast the (query_id,
+    qvec) relation, score every (vector, query) pair natively, rank within
+    each query (window partitioned by query_id — parallel across queries).
+    Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql.window import Window
+
+    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (qn * _norm(F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(queries_df.select("query_id", "qvec")))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk_batch(
+    index_df: DataFrame, queries: list[tuple[int, list[float]]], dim: int,
+    k: int = 10, n_tables: int = 4, n_bits: int = 12, multiprobe: bool = True,
+) -> DataFrame:
+    """LSH top-k for MANY queries in ONE job: the probe relation carries a
+    query_id, the candidate equi-join fans out per query, exact cosine +
+    per-query rank. Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql.window import Window
+
+    spark = index_df.sparkSession
+    probe_rows = []
+    for qid, qvec in queries:
+        qv = np.asarray(qvec, dtype=np.float64)
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_bits, t)
+            sig = 0
+            for b in range(n_bits):
+                if float(planes[b] @ qv) > 0:
+                    sig |= 1 << b
+            probe_rows.append((qid, t, sig))
+            if multiprobe:
+                probe_rows.extend(
+                    (qid, t, sig ^ (1 << b)) for b in range(n_bits)
+                )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id int, table int, signature long"
+    ).distinct()
+    qvecs = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "query_id int, qvec array<double>",
+    )
+    cand = (
+        index_df.join(F.broadcast(probes), ["table", "signature"])
+        .select("query_id", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    cos = _dot(F.col("embedding"), F.col("qvec")) / (qn * _norm(F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_recall_at_k(
+    df: DataFrame, n_queries: int = 50, k: int = 10,
+    n_tables: int = 4, n_bits: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> float:
+    """Mean recall@k of LSH vs exact top-k over the first ``n_queries``
+    vectors as queries — TWO jobs total (batch LSH + batch brute force)."""
+    rows = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    queries = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in rows]
+    dim = len(queries[0][1])
+    spark = df.sparkSession
+    queries_df = spark.createDataFrame(
+        [(q, v) for q, v in queries], "query_id int, qvec array<double>"
+    )
+    idx = lsh_index(df, dim=dim, n_tables=n_tables, n_bits=n_bits,
+                    id_col=id_col, vec_col=vec_col)
+    got = lsh_topk_batch(idx, queries, dim, k, n_tables, n_bits)
+    want = cosine_topk_batch(df, queries_df, k, id_col, vec_col)
+    g = got.groupBy("query_id").agg(F.collect_set("vec_id").alias("got"))
+    wnt = want.groupBy("query_id").agg(F.collect_set("vec_id").alias("want"))
+    per_q = g.join(wnt, "query_id").select(
+        (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
+    )
+    return float(per_q.agg(F.avg("r")).collect()[0][0])
+
+
 def lsh_topk(
     index_df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
     n_tables: int = 4, n_bits: int = 12, multiprobe: bool = True,

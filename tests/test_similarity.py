@@ -52,3 +52,51 @@ def test_lsh_deterministic(spark, vecs):
     a = sorted(tuple(r) for r in lsh_index(df, dim=16).select("table", "signature", "vec_id").collect())
     b = sorted(tuple(r) for r in lsh_index(df, dim=16).select("table", "signature", "vec_id").collect())
     assert a == b
+
+
+def test_batch_topk_matches_single(spark, vecs):
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.similarity import (
+        cosine_topk, cosine_topk_batch, lsh_index, lsh_topk, lsh_topk_batch,
+    )
+
+    rows, df = vecs
+    q0, q7 = rows[0][1], rows[7][1]
+    queries = [(0, q0), (7, q7)]
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    batch = cosine_topk_batch(df, qdf, k=5).collect()
+    for qid, qv in queries:
+        single = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, qv, k=5).collect()]
+        got = sorted(
+            ((r["vec_id"], r["cosine"]) for r in batch if r["query_id"] == qid),
+            key=lambda t: -t[1],
+        )
+        assert [v for v, _ in got] == [v for v, _ in single]
+        for (_, a), (_, b) in zip(got, single):
+            # batch computes |q| in-plan, single injects the numpy value —
+            # same math, last-ulp difference allowed
+            assert a == pytest.approx(b, rel=1e-12)
+
+    idx = lsh_index(df, dim=16, n_tables=6, n_bits=8)
+    lb = lsh_topk_batch(idx, queries, dim=16, k=5, n_tables=6, n_bits=8).collect()
+    for qid, qv in queries:
+        single = [r["vec_id"] for r in
+                  lsh_topk(idx, qv, dim=16, k=5, n_tables=6, n_bits=8).collect()]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in lb if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got == single
+
+
+def test_lsh_recall_measurement(spark, vecs):
+    from rdf_indexer_spark.similarity import lsh_recall_at_k
+
+    _, df = vecs
+    r = lsh_recall_at_k(df, n_queries=20, k=5, n_tables=6, n_bits=8)
+    assert 0.0 <= r <= 1.0
+    # near-orthogonal random vectors: multiprobe over 6 tables still finds a
+    # meaningful fraction of true neighbors
+    assert r > 0.3
