@@ -38,6 +38,12 @@ SKIP_FIELDS = ["score", "date_updated", "date_created", "_version_"]
 # RDFCompare.java:698-710
 IGNORED_NEW = ["date_created", "date_updated"]
 IGNORED_OLD = ["batch"]
+# RDFCompare.java:51-53 — the compare-side required sets (J-7)
+REQUIRED_FIELDS = [
+    "title_sort", "title", "genre", "archive", "url", "federation",
+    "year_sort", "year_sort_asc", "year_sort_desc", "freeculture", "is_ocr",
+]
+REQUIRED_PAGES_FIELDS = ["text", "page_num", "page_of"]
 
 
 def to_solr_string(values: Column) -> Column:
@@ -190,6 +196,33 @@ def compare_archives(
         "skipped": skipped,
         "added": added,
     }
+
+
+def required_field_errors(docs: DataFrame, *, is_pages: bool = False) -> DataFrame:
+    """J-7: the COMPARE-side required-field pass
+    (RDFCompare.validateRequiredFields:737-776) — distinct from the
+    build-side V-2 check in validation.py, with its own field list and the
+    concat-then-length test: a field whose concatenated values are empty
+    yields the 'ARR … is all spaces' message. Our documents model every
+    field as an array, so the reference's scalar (STR/trim) branch has no
+    counterpart — the ARR branch is the applicable semantics."""
+    fields = REQUIRED_PAGES_FIELDS if is_pages else REQUIRED_FIELDS
+    d = docs.select(
+        "uri", "fields",
+        F.explode(F.array(*[F.lit(f) for f in fields])).alias("req"),
+    )
+    vals = F.element_at(F.col("fields"), F.col("req"))
+    msg = (
+        F.when(vals.isNull(), F.concat(
+            F.lit("required field: "), F.col("req"),
+            F.lit(" missing in new index"),
+        ))
+        .when(F.length(F.concat_ws("", vals)) == 0, F.concat(
+            F.lit("required ARR field: "), F.col("req"),
+            F.lit(" is all spaces in new index"),
+        ))
+    )
+    return d.select("uri", msg.alias("message")).filter(F.col("message").isNotNull())
 
 
 def index_of_difference(a: str, b: str) -> int:

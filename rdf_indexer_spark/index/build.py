@@ -44,7 +44,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_col
@@ -250,7 +250,24 @@ def build_index(
             .persist()
         )
 
-        _write_parts(enriched.drop("toks"), paths.docstore)
+        # Per-bucket lineage metrics ride the write job itself (Observation:
+        # conditional aggregates collected while the rows stream to parquet)
+        # instead of a separate re-scan — one full pass over the docstore
+        # saved per group, which at 100 TB is a whole job's worth of I/O.
+        sha_num = F.conv(
+            F.substring("content_sha256", 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+        doc_obs = Observation(f"docstore_g{gstart}")
+        doc_aggs = []
+        for b in group:
+            in_b = F.col("part") == b
+            doc_aggs += [
+                F.count(F.when(in_b, True)).alias(f"rows_{b}"),
+                F.sum(F.when(in_b, F.col("dl"))).alias(f"tokens_{b}"),
+                F.sum(F.when(in_b, sha_num)).alias(f"sha_{b}"),
+            ]
+        _write_parts(enriched.drop("toks").observe(doc_obs, *doc_aggs),
+                     paths.docstore)
 
         # postings: map-side partial agg collapses duplicate (term, doc)
         # pairs before the shuffle; the aligned repartition then clusters
@@ -270,6 +287,13 @@ def build_index(
         # (_pack_stream). With write_postings the sorted stream is also
         # persisted as the postings table and packed from the files (read
         # back with splitting disabled so no group straddles a task).
+        # posting counts likewise ride the blocks write via Observation —
+        # no re-read of the just-written block files
+        blk_obs = Observation(f"blocks_g{gstart}")
+        blk_aggs = [
+            F.sum(F.when(F.col("part") == b, F.col("n"))).alias(f"np_{b}")
+            for b in group
+        ]
         if write_postings:
             _write_parts(postings, paths.postings)
             old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -279,40 +303,23 @@ def build_index(
                     part_col.isin(group)
                 )
                 blocks = src.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-                _write_parts(blocks, paths.blocks)
+                _write_parts(blocks.observe(blk_obs, *blk_aggs), paths.blocks)
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         else:
             blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-            _write_parts(blocks, paths.blocks)
+            _write_parts(blocks.observe(blk_obs, *blk_aggs), paths.blocks)
 
-        # one metrics pass per group: rows / tokens / order-independent sha agg
-        metrics = {
-            r["part"]: r
-            for r in enriched.groupBy("part").agg(
-                F.count("*").alias("rows"),
-                F.sum("dl").alias("tokens"),
-                F.sum(
-                    F.conv(F.substring("content_sha256", 1, 15), 16, 10)
-                    .cast("decimal(38,0)")
-                ).alias("sha_agg"),
-            ).collect()
-        }
-        n_post = {
-            r["part"]: r["np"]
-            for r in spark.read.parquet(paths.blocks)
-            .filter(part_col.isin(group))
-            .groupBy("part").agg(F.sum("n").alias("np")).collect()
-        }
+        metrics = doc_obs.get
+        n_post = blk_obs.get
         enriched.unpersist()
         for b in group:
-            m = metrics.get(b)
             manifest.finish(
                 "build", _key(b),
-                rows=int(m["rows"]) if m else 0,
-                tokens=int(m["tokens"] or 0) if m else 0,
-                postings=int(n_post.get(b, 0)),
-                sha_agg=str(m["sha_agg"] or 0) if m else "0",
+                rows=int(metrics.get(f"rows_{b}") or 0),
+                tokens=int(metrics.get(f"tokens_{b}") or 0),
+                postings=int(n_post.get(f"np_{b}") or 0),
+                sha_agg=str(metrics.get(f"sha_{b}") or 0),
             )
 
     if not (resume and manifest.is_done("finalize", "stats")):

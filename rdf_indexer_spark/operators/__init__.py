@@ -8,13 +8,20 @@
 - similarity search:              rdf_indexer_spark.similarity
 - multimodal plumbing:            rdf_indexer_spark.multimodal
 """
-from ..compare import compare_archives, text_size_stats
+from ..compare import (
+    compare_archives, global_order_rank, required_field_errors,
+    text_size_stats,
+)
 from ..fields import assemble_documents, finalize_documents
 from ..resolve import resolve_references
 from ..textops import (
     dedup_keep_canonical, exact_duplicates, fingerprints, language_id,
-    minhash_near_duplicates, ngram_jaccard, quality_features,
+    minhash_lsh_candidates, minhash_near_duplicates,
+    minhash_near_duplicates_exact, ngram_jaccard, quality_features,
     simhash_near_duplicates,
 )
-from ..similarity import cosine_topk, lsh_index, lsh_topk
+from ..similarity import (
+    cosine_topk, cosine_topk_batch, ivf_index, ivf_topk, kmeans_centroids,
+    lsh_index, lsh_recall_at_k, lsh_topk, lsh_topk_batch,
+)
 from ..validation import validate_documents

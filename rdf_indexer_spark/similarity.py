@@ -23,6 +23,12 @@ Recall vs exact top-k is a *quality* metric, measured separately in bench.py
 (on the driver's near-orthogonal synthetic embeddings no sublinear probe can
 guarantee exact top-k; on clustered real corpora the same knobs trade probe
 cost for recall).
+
+An **IVF variant** (``kmeans_centroids`` / ``ivf_index`` / ``ivf_topk``)
+provides the FAISS-style coarse-quantizer path: deterministic sample-trained
+k-means, native nearest-centroid assignment, nprobe cell scan + exact
+re-rank. On a cluster the index is written partitioned by ``cell`` so a
+probe reads nprobe/n_centroids of the data.
 """
 
 from __future__ import annotations
@@ -231,6 +237,80 @@ def lsh_recall_at_k(
         (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
     )
     return float(per_q.agg(F.avg("r")).collect()[0][0])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(
+    df: DataFrame, dim: int, n_centroids: int = 16, n_iters: int = 10,
+    sample: int = 10_000, seed: int = 41,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a bounded sample, driver-side numpy.
+
+    The sample is the first ``sample`` vectors by id (deterministic, no
+    RNG over data); init picks evenly-spaced sample points. At 10^9+ vectors
+    the coarse quantizer is still trained on a bounded sample — this is the
+    standard IVF recipe (FAISS trains on ~256 vectors/centroid)."""
+    rows = (
+        df.orderBy(id_col).limit(sample)
+        .select(vec_col).collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    cents = x[idx].copy()
+    for _ in range(n_iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _l2_to_centroid(vec: Column, cent: np.ndarray) -> Column:
+    c = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def ivf_index(
+    df: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, vec_id, embedding): every vector assigned to its nearest
+    centroid, natively (argmin over broadcast centroid literals). On a
+    cluster this is written partitioned by ``cell`` so an nprobe search
+    prunes the scan to nprobe/n_centroids of the data."""
+    dists = F.array(*[
+        F.struct(_l2_to_centroid(F.col(vec_col), c).alias("d"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+    best = F.array_min(dists)
+    return df.select(
+        best["cell"].alias("cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def ivf_topk(
+    index_df: DataFrame, centroids: np.ndarray, query_vec: list[float],
+    k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Scan the ``nprobe`` cells nearest the query; exact cosine re-rank.
+    Returns (vec_id, cosine) top-k among the probed cells."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    cand = index_df.filter(F.col("cell").isin(cells)).select("vec_id", "embedding")
+    return cosine_topk(cand, query_vec, k)
 
 
 def lsh_topk(

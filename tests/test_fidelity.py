@@ -168,3 +168,41 @@ def test_safe_archive_and_core_name(spark):
         .select(safe_archive_col(F.col("a")).alias("s")).collect()[0]["s"]
     )
     assert got == "a_b_c_d"
+
+
+# ---------------------------------------------------------------------------
+# J-7 — RDFCompare.validateRequiredFields (java:737-776), compare-side list
+# ---------------------------------------------------------------------------
+
+def test_compare_required_field_errors(spark):
+    from rdf_indexer_spark.compare import required_field_errors
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", {  # complete doc: no errors
+                "title_sort": ["t"], "title": ["t"], "genre": ["Poetry"],
+                "archive": ["a"], "url": ["http://x"], "federation": ["NINES"],
+                "year_sort": ["1850"], "year_sort_asc": ["1850"],
+                "year_sort_desc": ["1850"], "freeculture": ["true"],
+                "is_ocr": ["false"],
+            }),
+            ("u2", {"title": [""], "genre": ["x", ""]}),  # missing + empties
+        ],
+        "uri string, fields map<string,array<string>>",
+    )
+    got = {(r["uri"], r["message"]) for r in required_field_errors(docs).collect()}
+    assert not any(u == "u1" for u, _ in got)
+    assert ("u2", "required field: title_sort missing in new index") in got
+    assert ("u2", "required ARR field: title is all spaces in new index") in got
+    # concatenated non-empty values pass even with an empty member
+    assert ("u2", "required ARR field: genre is all spaces in new index") not in got
+    # pages list is the 3-field variant
+    pg = {r["message"] for r in required_field_errors(
+        spark.createDataFrame([("p1", {})],
+                              "uri string, fields map<string,array<string>>"),
+        is_pages=True).collect()}
+    assert pg == {
+        "required field: text missing in new index",
+        "required field: page_num missing in new index",
+        "required field: page_of missing in new index",
+    }

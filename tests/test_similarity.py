@@ -100,3 +100,41 @@ def test_lsh_recall_measurement(spark, vecs):
     # near-orthogonal random vectors: multiprobe over 6 tables still finds a
     # meaningful fraction of true neighbors
     assert r > 0.3
+
+
+def test_ivf_topk_nprobe_all_equals_brute(spark, vecs):
+    import numpy as np
+
+    from rdf_indexer_spark.similarity import (
+        cosine_topk, ivf_index, ivf_topk, kmeans_centroids,
+    )
+
+    rows, df = vecs
+    cents = kmeans_centroids(df, dim=16, n_centroids=8, sample=201)
+    assert cents.shape == (8, 16)
+    idx = ivf_index(df, cents)
+    # cells partition the id space
+    assert idx.count() == len(rows)
+    assert idx.select("vec_id").distinct().count() == len(rows)
+    q = rows[0][1]
+    # probing every cell must equal exact brute force
+    got = [r["vec_id"] for r in ivf_topk(idx, cents, q, k=5, nprobe=8).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    assert got == brute
+    # the query vector itself always lives in the first probed cell (same
+    # argmin metric); its planted near-dup is either in the same cell or an
+    # adjacent one, so nprobe=2 must find both
+    got1 = [r["vec_id"] for r in ivf_topk(idx, cents, q, k=2, nprobe=2).collect()]
+    assert got1[0] == 0 and 200 in got1
+
+
+def test_ivf_deterministic(spark, vecs):
+    from rdf_indexer_spark.similarity import ivf_index, kmeans_centroids
+
+    _, df = vecs
+    c1 = kmeans_centroids(df, dim=16, n_centroids=4, sample=100)
+    c2 = kmeans_centroids(df.repartition(7), dim=16, n_centroids=4, sample=100)
+    assert (c1 == c2).all()
+    a = sorted(tuple(r) for r in ivf_index(df, c1).select("cell", "vec_id").collect())
+    b = sorted(tuple(r) for r in ivf_index(df.repartition(5), c1).select("cell", "vec_id").collect())
+    assert a == b

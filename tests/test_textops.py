@@ -128,3 +128,59 @@ def test_token_count_matches_python(spark, docs):
            docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
     for row in docs.collect():
         assert got[row["doc_id"]] == len(tokenize(row["text"]))
+
+
+def test_hot_bucket_guards_degenerate_corpus(spark):
+    """Skew guards: a degenerate corpus (hundreds of identical docs) must
+    not send a quadratic bucket through the candidate join. With max_bucket
+    below the clone count both operators drop the hot buckets (0 pairs);
+    raising the cap re-admits them. Mirrors minhash's r1 guard; simhash
+    gained the same guard in r2."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rdf_indexer_spark.textops import (
+        minhash_near_duplicates, simhash_near_duplicates,
+    )
+
+    clones = [(i, "identical boilerplate text repeated everywhere always")
+              for i in range(300)]
+    df = spark.createDataFrame(clones, ["doc_id", "text"])
+
+    # caps below the clone count: every bucket is hot -> dropped -> no pairs
+    assert simhash_near_duplicates(df, max_hamming=8, max_bucket=200).count() == 0
+    assert minhash_near_duplicates(df, jaccard_threshold=0.5, max_bucket=200).count() == 0
+
+    # caps above: the pairs come back (guard only fires on pathology)
+    n = 300 * 299 // 2
+    assert simhash_near_duplicates(df, max_hamming=8, max_bucket=2000).count() == n
+    assert minhash_near_duplicates(df, jaccard_threshold=0.5, max_bucket=2000).count() == n
+
+
+def test_minhash_exact_recall_vs_ground_truth(spark):
+    """LSH recall == 1 on the sandbox corpora at threshold 0.8: the engine's
+    exact-verified pairs equal the brute-force all-pairs ground truth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.textops import (
+        minhash_near_duplicates_exact, ngram_jaccard,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_near_duplicates_exact(docs, jaccard_threshold=0.8).collect()}
+    # brute-force ground truth via the same exact-jaccard operator over ALL
+    # pairs (no LSH) — recall AND precision must both be 1
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    all_pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    truth = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard(all_pairs, docs, n=3).filter(
+                 F.col("jaccard") >= 0.8).collect()}
+    assert got == truth
+    assert truth  # non-vacuous: planted near-dups exist
