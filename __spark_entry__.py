@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": Q.q_ann_lsh,
         "rdf_documents": Q.q_rdf_documents,
         "rdf_errors": Q.q_rdf_errors,
+        # stateful-op batch twin + batched ANN (new in r2)
+        "sessionize": Q.q_sessionize,
+        "ann_batch": Q.q_ann_batch,
     }
 
 
@@ -328,6 +331,50 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_dot_product(emb, emb))),
                    5) AS cosine
             FROM e CROSS JOIN q
+        """,
+        "sessionize": """
+            -- batch twin of the applyInPandasWithState sessionizer: lag +
+            -- cumulative new-session flag + per-session groupBy, 30-min gap
+            WITH d AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ),
+            f AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                         THEN 1 ELSE 0 END AS new_sess
+              FROM d
+            ),
+            g AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+              FROM f
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM g GROUP BY user_id, sess
+        """,
+        "ann_batch": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            q AS (SELECT vec_id::INT AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.emb, q.qv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                      sqrt(list_dot_product(e.emb, e.emb))) AS cosine,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY list_dot_product(e.emb, q.qv) /
+                                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                                         sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                                        e.vec_id ASC) AS rank
+              FROM e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cosine, 5) AS cosine, rank::INT AS rank
+            FROM s WHERE rank <= 5
         """,
         # RDF parse-layer goldens (new in r2). These are literal expected
         # outputs for the reference's own test fixtures, in the reference's

@@ -486,6 +486,42 @@ def q_ann_lsh(spark, sf):
     ).select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator): 30-min gap over the events stream, per-user
+    sessions. Fully SQL-restateable (lag + cumulative flag + groupBy)."""
+    from .streaming import sessionize_batch
+
+    ev = load(spark, sf, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def q_ann_batch(spark, sf):
+    """Batched exact ANN: top-5 per query for the first 5 embeddings as
+    queries, ONE job (broadcast queries + per-query window rank)."""
+    from .similarity import cosine_topk_batch
+
+    emb = load(spark, sf, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec"),
+    )
+    return cosine_topk_batch(emb, qdf, k=5).select(
+        "query_id", "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_rdf_documents(spark, sf):
     """RDF parse layer end-to-end on the reference fixtures (rows-only;
     field-level goldens live in tests/test_pipeline.py)."""
