@@ -66,6 +66,18 @@ class IndexReader:
         row = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = row["n_docs"]
         self.avgdl = float(row["avgdl"])
+        # tombstones (index/maintain.delete_docs): Lucene deleted-docs
+        # semantics — a visibility filter at query time; stats/df keep
+        # counting deleted docs until a rebuild, like segments before merge.
+        # Held as a sorted numpy array (np.searchsorted membership); at
+        # 10^12-doc scale this becomes a roaring bitmap broadcast.
+        self._tomb_path = os.path.join(self.paths.root, "tombstones")
+        if os.path.exists(self._tomb_path):
+            rows = spark.read.parquet(self._tomb_path).select("doc_id").distinct().collect()
+            self.tombstones = np.sort(np.array([r["doc_id"] for r in rows],
+                                               dtype=np.int64))
+        else:
+            self.tombstones = np.array([], dtype=np.int64)
 
     # -- statistics --------------------------------------------------------
 
@@ -131,6 +143,10 @@ class IndexReader:
                 ).alias("score")
             )
         )
+        if len(self.tombstones):
+            # anti-join (not isin): the tombstone set stays distributed
+            tomb = self.spark.read.parquet(self._tomb_path).select("doc_id").distinct()
+            scored = scored.join(tomb, "doc_id", "left_anti")
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
@@ -161,7 +177,7 @@ class IndexReader:
             _Cursor(t, idfs[t], blocks[t], self.avgdl)
             for t in sorted(idfs) if t in blocks
         ]
-        return _wand_topk(cursors, k)
+        return _wand_topk(cursors, k, deleted=self.tombstones)
 
     def search_wand_distributed(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Block-max WAND with the cursor walk on the executors.
@@ -174,6 +190,7 @@ class IndexReader:
         if not idfs:
             return []
         avgdl = self.avgdl
+        deleted = self.tombstones
         blocks = (
             self.spark.read.parquet(self.paths.blocks)
             .filter(F.col("term").isin(list(idfs)))
@@ -193,7 +210,7 @@ class IndexReader:
                 _Cursor(t, idfs[t], by_term[t], avgdl)
                 for t in sorted(by_term)
             ]
-            hits = _wand_topk(cursors, k)
+            hits = _wand_topk(cursors, k, deleted=deleted)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]},
                 columns=["doc_id", "score"],
@@ -329,20 +346,33 @@ class _Cursor:
             self._load_block()
 
 
-def _wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def _wand_topk(
+    cursors: list[_Cursor], k: int, deleted: np.ndarray | None = None
+) -> list[tuple[int, float]]:
     """Block-max WAND: exact top-k under (score desc, doc_id asc).
 
     Pruning uses strict ``ub < θ`` so boundary ties are always evaluated —
     exactness over marginal pruning (SURVEY.md §4.3.3 correctness guard).
+
+    ``deleted``: sorted tombstoned doc_ids (Lucene deleted-docs visibility
+    filter) — tombstoned docs are evaluated but never admitted to the heap.
     """
     if k <= 0:
         return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
+    def is_deleted(doc: int) -> bool:
+        if deleted is None or not len(deleted):
+            return False
+        i = int(np.searchsorted(deleted, doc))
+        return i < len(deleted) and int(deleted[i]) == doc
+
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else -math.inf
 
     def offer(doc: int, score: float) -> None:
+        if is_deleted(doc):
+            return
         item = (score, -doc)
         if len(heap) < k:
             heapq.heappush(heap, item)

@@ -1,0 +1,182 @@
+"""Index maintenance: tombstone deletes + incremental append.
+
+The reference's operational loop is *purge archive → re-post documents*
+(``RDFIndexer.java:214-232`` purgeArchive + doIndexing; SolrClient delete-
+by-query). The engine's equivalents, designed for the 100-TB posture:
+
+* **Deletes are tombstones** (Lucene deleted-docs semantics): a parquet list
+  of doc_ids consulted at query time. Postings/blocks are untouched; corpus
+  statistics (N, avgdl, df) intentionally keep counting deleted docs until a
+  rebuild ("compaction"), exactly like Lucene before segment merge — so a
+  delete is O(deleted ids), never a rewrite of the index.
+
+* **Appends are new buckets**: fresh documents land in NEW ``part``
+  directories (dynamic partition overwrite never touches committed
+  buckets), stats combine incrementally (counts/sums, no re-scan of old
+  text), and termstats rebuild from block METADATA only (a column-pruned
+  scan of (term, n, tf_sum) — no posting bytes are read, no re-tokenize).
+  Per-bucket lineage rows land in the same manifest as the build
+  (stage="append"), so interrupted appends resume like builds.
+
+Invariant kept: per-part doc-id ranges stay disjoint and sorted (appended
+docs get ids ≥ old N), so per-term block lists still concatenate into
+globally sorted posting lists and both WAND paths work unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..analyzer import tokenize_col
+from .build import BLOCK_SCHEMA, IndexPaths, _pack_stream, _write_parts
+from .manifest import Manifest
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Tombstone the given doc ids (list[int] or a DataFrame with a
+    ``doc_id`` column). Idempotent; returns the total tombstone count."""
+    paths = IndexPaths(index_dir)
+    tomb = os.path.join(paths.root, "tombstones")
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("long"))
+    else:
+        ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    ids.write.mode("append").parquet(tomb)
+    n = spark.read.parquet(tomb).select("doc_id").distinct().count()
+    Manifest(paths.manifest).finish("delete", f"n={n}")
+    return n
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, predicate: str) -> int:
+    """Purge-by-query (reference A-12 / SolrClient delete-by-query): every
+    docstore row matching the SQL ``predicate`` is tombstoned."""
+    paths = IndexPaths(index_dir)
+    ids = spark.read.parquet(paths.docstore).filter(predicate).select("doc_id")
+    return delete_docs(spark, index_dir, ids)
+
+
+def append_documents(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4,
+    meta_cols: tuple[str, ...] = (),
+) -> dict:
+    """Append ``new_docs`` as fresh buckets. ``id_col`` must continue the
+    dense id space (first new id == current n_docs — asserted); pass ids
+    from ``docids.assign_doc_ids`` offset by the reader's ``n_docs``.
+
+    Returns the manifest summary. Search results over the combined index
+    are rank- and score-identical to a one-shot build of the union corpus
+    ONCE statistics agree — stats combine exactly (counts/sums), so they do
+    (asserted in tests/test_maintain.py)."""
+    paths = IndexPaths(index_dir)
+    manifest = Manifest(paths.manifest)
+    old = spark.read.parquet(paths.stats).collect()[0]
+    n_old, tok_old = int(old["n_docs"]), int(old["total_tokens"])
+    old_parts = [
+        int(r["part"]) for r in
+        spark.read.parquet(paths.blocks).select("part").distinct().collect()
+    ]
+    part_base = max(old_parts) + 1 if old_parts else 0
+
+    bounds = new_docs.agg(
+        F.min(F.col(id_col)).alias("lo"), F.count("*").alias("n")
+    ).collect()[0]
+    if int(bounds["lo"]) != n_old:
+        raise ValueError(
+            f"append ids must continue the dense space: first new id "
+            f"{bounds['lo']} != current n_docs {n_old}"
+        )
+    n_new = int(bounds["n"])
+    per = max((n_new + num_buckets - 1) // num_buckets, 1)
+
+    part = (
+        F.lit(part_base)
+        + F.least(F.floor((F.col(id_col) - n_old) / per), F.lit(num_buckets - 1))
+    ).cast("int")
+    enriched = (
+        new_docs.select(
+            part.alias("part"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            *[F.col(c) for c in meta_cols],
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2,
+                     F.col("part"), F.pmod(F.col("doc_id"), F.lit(8)))
+        .withColumn("toks", tokenize_col(F.col("text")))
+        .select(
+            "part", "doc_id",
+            F.size("toks").alias("dl"),
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+            "toks",
+            *[F.col(c) for c in meta_cols],
+        )
+        .persist()
+    )
+    group = list(range(part_base, part_base + num_buckets))
+    sha_num = F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(38,0)")
+    obs = Observation("append_docstore")
+    aggs = []
+    for b in group:
+        in_b = F.col("part") == b
+        aggs += [
+            F.count(F.when(in_b, True)).alias(f"rows_{b}"),
+            F.sum(F.when(in_b, F.col("dl"))).alias(f"tokens_{b}"),
+            F.sum(F.when(in_b, sha_num)).alias(f"sha_{b}"),
+        ]
+    _write_parts(enriched.drop("toks").observe(obs, *aggs), paths.docstore)
+
+    postings = (
+        enriched.select("part", "doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("part", "term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .repartition(spark.sparkContext.defaultParallelism * 2,
+                     F.col("part"), F.xxhash64("term"))
+        .sortWithinPartitions("part", "term", "doc_id")
+    )
+    blk_obs = Observation("append_blocks")
+    blk_aggs = [
+        F.sum(F.when(F.col("part") == b, F.col("n"))).alias(f"np_{b}")
+        for b in group
+    ]
+    blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
+    _write_parts(blocks.observe(blk_obs, *blk_aggs), paths.blocks)
+
+    if os.path.exists(paths.postings):
+        _write_parts(postings, paths.postings)
+
+    metrics, n_post = obs.get, blk_obs.get
+    new_tokens = sum(int(metrics.get(f"tokens_{b}") or 0) for b in group)
+    enriched.unpersist()
+    for b in group:
+        manifest.finish(
+            "append", f"bucket={b:05d}",
+            rows=int(metrics.get(f"rows_{b}") or 0),
+            tokens=int(metrics.get(f"tokens_{b}") or 0),
+            postings=int(n_post.get(f"np_{b}") or 0),
+            sha_agg=str(metrics.get(f"sha_{b}") or 0),
+        )
+
+    # stats combine EXACTLY (no re-scan of old text)
+    n_docs = n_old + n_new
+    total_tokens = tok_old + new_tokens
+    spark.createDataFrame(
+        [(n_docs, total_tokens / n_docs, total_tokens)],
+        "n_docs long, avgdl double, total_tokens long",
+    ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+    # termstats from block metadata only (column-pruned scan; no bin bytes)
+    (
+        spark.read.parquet(paths.blocks)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
+        .write.mode("overwrite").parquet(paths.termstats)
+    )
+    manifest.finish("finalize", f"append_stats_n={n_docs}")
+    return manifest.summary()

@@ -24,4 +24,5 @@ from ..similarity import (
     cosine_topk, cosine_topk_batch, ivf_index, ivf_topk, kmeans_centroids,
     lsh_index, lsh_recall_at_k, lsh_topk, lsh_topk_batch,
 )
+from ..index.maintain import append_documents, delete_by_query, delete_docs
 from ..validation import validate_documents
