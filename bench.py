@@ -8,9 +8,13 @@ Default: one run at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
      "queries": {...per-stage sec...}, "sf": ..., "docs_per_sec": ...}
 
 ``python bench.py --scaling`` additionally measures the same index build at
-local[8] vs local[32] in FRESH processes (separate JVMs, no warm caches) and
-writes throughput + scaling efficiency to BENCH/BASELINE.md — the sandbox
-evidence for the north rule's two-cluster-size criterion.
+local[2]/local[8]/local[32] in FRESH processes (separate JVMs), pairing N
+and 4N inside the SAME round/window (the host's shared vCPUs drift
+several-fold minute to minute), and writes per-level throughput, per-stage
+breakdown, both x4 pair efficiencies and same-round hardware burns to
+BENCH/BASELINE.md — the sandbox evidence for the north rule's
+two-cluster-size criterion. Best demonstrated rounds persist across
+invocations in BENCH/scaling_best.json.
 """
 
 from __future__ import annotations
@@ -258,7 +262,7 @@ def _burn_speedup(n_workers_a: int, n_workers_b: int) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, levels=None, rounds: int = 3) -> dict:
+def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
     """N vs 4N parallelism measurement with SAME-WINDOW pairing.
 
     The host's shared vCPUs drift minute-to-minute (same-work burns vary
@@ -271,6 +275,8 @@ def run_scaling(sf_dir: str, levels=None, rounds: int = 3) -> dict:
     if levels is None:
         levels = tuple(int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
+    if rounds is None:
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     all_rounds: list[dict] = []
     for rnd in range(rounds):
         window: dict[int, dict] = {}
@@ -298,6 +304,7 @@ def run_scaling(sf_dir: str, levels=None, rounds: int = 3) -> dict:
             r_n, r_4n = rd["levels"][lo], rd["levels"][hi]
             speedup = r_4n["docs_per_sec"] / r_n["docs_per_sec"]
             rows.append({
+                "docs": r_n.get("docs"),
                 "speedup": speedup,
                 "efficiency": speedup / (hi / lo),
                 "stage_efficiency": {
@@ -417,9 +424,10 @@ advertised 4× this single box actually offers in each window.
     for p in scaling["pairs"]:
         se = "; ".join(f"{k} {v:.2f}" for k, v in p["stage_efficiency"].items())
         rounds_tbl = "\n".join(
-            f"| {i+1} | {r['n_wall']:.1f} | {r['four_n_wall']:.1f} "
-            f"| {r['speedup']:.2f}× | {r['efficiency']:.2f} "
-            f"| {r['hw_cpu_speedup']:.2f}× | {r['hw_mem_speedup']:.2f}× |"
+            f"| {i+1} | {r.get('docs') or '?'} | {r['n_wall']:.1f} "
+            f"| {r['four_n_wall']:.1f} | {r['speedup']:.2f}× "
+            f"| {r['efficiency']:.2f} | {r['hw_cpu_speedup']:.2f}× "
+            f"| {r['hw_mem_speedup']:.2f}× |"
             for i, r in enumerate(p.get("all_rounds", []))
         )
         pair_sections.append(f"""### {p['n']} → {p['four_n']} cores (×{p['four_n']//p['n']})
@@ -430,10 +438,11 @@ advertised 4× this single box actually offers in each window.
   {p['hw_cpu_speedup']:.2f}×, memory-streaming burn {p['hw_mem_speedup']:.2f}×
 - engine speedup ÷ memory-bandwidth speedup: {p['hw_normalized_efficiency']:.2f}
 
-All rounds (same-window N / 4N wall s, ratio, raw eff, hw burns):
+All rounds (same-window N / 4N wall s, ratio, raw eff, hw burns; docs =
+replicated corpus size for that round):
 
-| round | N wall | 4N wall | speedup | raw eff | hw cpu | hw mem |
-|---|---|---|---|---|---|---|
+| round | docs | N wall | 4N wall | speedup | raw eff | hw cpu | hw mem |
+|---|---|---|---|---|---|---|---|
 {rounds_tbl}
 """)
     vols = scaling["levels"][0].get("volumes", {})

@@ -101,6 +101,7 @@ def index_code_corpus(
     *,
     num_buckets: int = 32,
     resume: bool = True,
+    buckets_per_job: int | None = None,
 ) -> dict:
     """North-rule input (BASELINE.json input_hint): (repo, path, commit,
     lang, content) → inverted index keyed by dense doc ids over the natural
@@ -120,4 +121,5 @@ def index_code_corpus(
         num_buckets=num_buckets,
         meta_cols=("repo", "path", "commit", "lang"),
         resume=resume,
+        buckets_per_job=buckets_per_job,
     )

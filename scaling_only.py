@@ -2,7 +2,6 @@
 full-suite bench json passed on stdin or embedded)."""
 import json, sys, os
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("SPARK_GRAFT_SCALE_REP", "24")
 import bench
 
 bench_json = json.loads(sys.argv[1]) if len(sys.argv) > 1 else {"sf": bench.SF_DIR, "cpus": bench.CPUS}

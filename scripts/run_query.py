@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for top-k search against a built index:
+
+    spark-submit --py-files rdf_indexer_spark.zip scripts/run_query.py \\
+        --index-dir /data/index --query "block max wand" --k 10 --distributed
+
+Prints one JSON line: {"query": ..., "hits": [[doc_id, score], ...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--distributed", action="store_true",
+                    help="run the cursor walk on the executors "
+                         "(per-bucket applyInPandas + driver merge)")
+    ap.add_argument("--exhaustive", action="store_true",
+                    help="use the declarative DataFrame scorer instead")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from rdf_indexer_spark.session import get_spark
+
+        spark = get_spark(app_name="index-query")
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, args.index_dir)
+    if args.exhaustive:
+        hits = [(r["doc_id"], r["score"])
+                for r in reader.score_exhaustive(args.query, args.k).collect()]
+    elif args.distributed:
+        hits = reader.search_wand_distributed(args.query, args.k)
+    else:
+        hits = reader.search_wand(args.query, args.k)
+    print(json.dumps({
+        "query": args.query,
+        "k": args.k,
+        "hits": [[int(d), float(s)] for d, s in hits],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
