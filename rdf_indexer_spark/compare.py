@@ -288,13 +288,17 @@ def global_order_rank(
     over the per-partition COUNTS — a ~num_partitions-row relation, so that
     one serial window is O(partitions), not O(rows). Same offsets idea as
     docids.assign_doc_ids, but range (not hash) buckets so the rank is true
-    global key order. The ranked input is persisted so the count branch and
-    the rank branch see identical range boundaries."""
+    global key order. The ranked input is materialized once via an eager
+    ``localCheckpoint`` so the count branch and the rank branch see identical
+    range boundaries — unlike ``persist()`` (whose CacheManager entry leaks
+    until an explicit unpersist that a lazily-returned DataFrame can never
+    schedule), checkpoint blocks are dropped by the ContextCleaner as soon
+    as the RDD is unreferenced, so repeated calls don't accumulate cache."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     d = (
         df.repartitionByRange(n, F.col(key_col))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w_in = Window.partitionBy("_pid").orderBy(key_col)
     counts = d.groupBy("_pid").agg(F.count("*").alias("_cnt"))

@@ -78,6 +78,10 @@ class IndexReader:
                                                dtype=np.int64))
         else:
             self.tombstones = np.array([], dtype=np.int64)
+        # Broadcast once: executor-side tasks (search_wand_distributed) pull
+        # the set from the broadcast store instead of shipping it inside
+        # every task closure — task size stays O(1) in tombstone count.
+        self._tomb_bc = spark.sparkContext.broadcast(self.tombstones)
 
     # -- statistics --------------------------------------------------------
 
@@ -190,7 +194,7 @@ class IndexReader:
         if not idfs:
             return []
         avgdl = self.avgdl
-        deleted = self.tombstones
+        tomb_bc = self._tomb_bc  # Broadcast handle: O(1) in the closure
         blocks = (
             self.spark.read.parquet(self.paths.blocks)
             .filter(F.col("term").isin(list(idfs)))
@@ -210,7 +214,7 @@ class IndexReader:
                 _Cursor(t, idfs[t], by_term[t], avgdl)
                 for t in sorted(by_term)
             ]
-            hits = _wand_topk(cursors, k, deleted=deleted)
+            hits = _wand_topk(cursors, k, deleted=tomb_bc.value)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]},
                 columns=["doc_id", "score"],
@@ -222,7 +226,23 @@ class IndexReader:
         merged = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))[:k]
         return [(int(r["doc_id"]), float(r["score"])) for r in merged]
 
-    def search(self, query: str, k: int = 10, *, distributed: bool = False) -> DataFrame:
+    # Auto-select guard for search(): above this many postings across the
+    # query's terms the driver-side block fetch (fetch_blocks .collect())
+    # would pull too much to one machine — route through the executor-side
+    # walk. ~500k postings ≈ a few MB of packed blocks: past that the
+    # distributed walk's extra job overhead is already amortized.
+    DISTRIBUTED_POSTINGS_THRESHOLD = 500_000
+
+    def search(self, query: str, k: int = 10, *, distributed: bool | None = None) -> DataFrame:
+        """Default query path. ``distributed=None`` auto-selects: the
+        executor-side WAND walk (search_wand_distributed — the cluster-scale
+        shape, nothing bigger than parts·k rows reaches the driver) unless
+        the query's total posting volume is small enough that the driver
+        walk is a cheap fast path. Both paths are rank- and score-identical
+        (asserted in tests/test_index.py)."""
+        if distributed is None:
+            dfs = self.term_dfs(sorted(set(tokenize(query))))
+            distributed = sum(dfs.values()) > self.DISTRIBUTED_POSTINGS_THRESHOLD
         hits = (
             self.search_wand_distributed(query, k)
             if distributed else self.search_wand(query, k)

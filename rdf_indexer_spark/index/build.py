@@ -237,6 +237,13 @@ def build_index(
     for gstart in range(0, len(pending), group_size):
         group = pending[gstart: gstart + group_size]
         part_col = F.col("part")
+        # NO persist: the docstore pass and the postings pass each recompute
+        # the narrow tokenize chain from the source scan. Caching the token
+        # arrays was measured 3× SLOWER end-to-end at 32 cores (cache-store
+        # bandwidth + eviction churn + serialized spill under concurrent
+        # tasks dwarf the ~3 s the second tokenize costs) — and at 100 TB a
+        # token-array cache cannot fit anyway, so recompute-from-scan is
+        # also the honest cluster shape. See BENCH/BASELINE.md.
         enriched = (
             _part_aligned(base.filter(part_col.isin(group)), F.col("doc_id"))
             .withColumn("toks", tokenize_col(F.col("text")))
@@ -247,7 +254,6 @@ def build_index(
                 "toks",
                 *[F.col(c) for c in meta_cols],
             )
-            .persist()
         )
 
         # Per-bucket lineage metrics ride the write job itself (Observation:
@@ -312,7 +318,6 @@ def build_index(
 
         metrics = doc_obs.get
         n_post = blk_obs.get
-        enriched.unpersist()
         for b in group:
             manifest.finish(
                 "build", _key(b),

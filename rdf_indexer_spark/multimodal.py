@@ -137,15 +137,22 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
     """Route to a real decoder by magic bytes; unknown codecs fall back to
-    the clearly-marked deterministic stub."""
-    if kind == "image":
-        if payload.startswith(b"P6"):
-            return decode_ppm(payload).astype(np.float32) / 255.0
-        if payload.startswith(b"BM"):
-            return decode_bmp(payload).astype(np.float32) / 255.0
-    if kind == "audio" and payload.startswith(b"RIFF"):
-        samples, _ = decode_wav(payload)
-        return samples.reshape(-1)
+    the clearly-marked deterministic stub.
+
+    A truncated/malformed P6/BM/RIFF payload must not fail the whole Spark
+    job (one bad row inside a mapInPandas kernel kills the task): decoder
+    ValueErrors fall back to the stub, same as an unknown codec."""
+    try:
+        if kind == "image":
+            if payload.startswith(b"P6"):
+                return decode_ppm(payload).astype(np.float32) / 255.0
+            if payload.startswith(b"BM"):
+                return decode_bmp(payload).astype(np.float32) / 255.0
+        if kind == "audio" and payload.startswith(b"RIFF"):
+            samples, _ = decode_wav(payload)
+            return samples.reshape(-1)
+    except ValueError:
+        pass
     return _decode_stub(payload, kind)
 
 

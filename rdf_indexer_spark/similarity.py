@@ -222,6 +222,10 @@ def lsh_recall_at_k(
         .collect()
     )
     queries = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in rows]
+    if not queries:
+        raise ValueError(
+            f"no query vectors found: no rows with {id_col} < {n_queries}"
+        )
     dim = len(queries[0][1])
     spark = df.sparkSession
     queries_df = spark.createDataFrame(
@@ -236,12 +240,32 @@ def lsh_recall_at_k(
     per_q = g.join(wnt, "query_id").select(
         (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
     )
-    return float(per_q.agg(F.avg("r")).collect()[0][0])
+    avg = per_q.agg(F.avg("r")).collect()[0][0]
+    return float(avg) if avg is not None else 0.0
 
 
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
 # ---------------------------------------------------------------------------
+
+def kmeans_sample(
+    df: DataFrame, sample: int, n_rows: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-stride training sample — NO global sort.
+
+    ``orderBy(id).limit(sample)`` plans a global TakeOrdered over every
+    vector; instead keep rows whose ``xxhash64(id)`` falls in a stride-sized
+    residue class (expected ~2·sample rows). The kept SET is a pure function
+    of the ids — deterministic across runs and parallelism levels — and the
+    plan is scan→filter, fully parallel and pushdown-friendly."""
+    if n_rows is None:
+        n_rows = df.count()
+    stride = max(n_rows // max(2 * sample, 1), 1)
+    return df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec")).filter(
+        F.pmod(F.xxhash64(F.col("_sid")), F.lit(stride)) == 0
+    )
+
 
 def kmeans_centroids(
     df: DataFrame, dim: int, n_centroids: int = 16, n_iters: int = 10,
@@ -250,15 +274,15 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a bounded sample, driver-side numpy.
 
-    The sample is the first ``sample`` vectors by id (deterministic, no
-    RNG over data); init picks evenly-spaced sample points. At 10^9+ vectors
-    the coarse quantizer is still trained on a bounded sample — this is the
-    standard IVF recipe (FAISS trains on ~256 vectors/centroid)."""
-    rows = (
-        df.orderBy(id_col).limit(sample)
-        .select(vec_col).collect()
-    )
-    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    The sample is a deterministic hash-stride subset (:func:`kmeans_sample`
+    — no RNG over data, no global sort; the driver sorts the ≤ ~2·sample
+    collected ids in numpy and truncates); init picks evenly-spaced sample
+    points. At 10^9+ vectors the coarse quantizer is still trained on a
+    bounded sample — this is the standard IVF recipe (FAISS trains on ~256
+    vectors/centroid)."""
+    rows = kmeans_sample(df, sample, id_col=id_col, vec_col=vec_col).collect()
+    rows.sort(key=lambda r: r["_sid"])
+    x = np.asarray([list(r["_svec"]) for r in rows[:sample]], dtype=np.float64)
     idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
     cents = x[idx].copy()
     for _ in range(n_iters):
@@ -311,6 +335,123 @@ def ivf_topk(
     cells = [int(c) for c in order[:nprobe]]
     cand = index_df.filter(F.col("cell").isin(cells)).select("vec_id", "embedding")
     return cosine_topk(cand, query_vec, k)
+
+
+def ivf_topk_batch(
+    index_df: DataFrame, centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k for MANY queries in ONE job: per-query nprobe nearest cells
+    computed driver-side over the (tiny) centroid array, broadcast as a
+    (query_id, cell) probe relation, equi-joined to the cell-partitioned
+    index, exact cosine + per-query rank. Returns (query_id, vec_id,
+    cosine, rank) — the batch twin of :func:`ivf_topk`."""
+    from pyspark.sql.window import Window
+
+    spark = index_df.sparkSession
+    probe_rows = []
+    for qid, qvec in queries:
+        qv = np.asarray(qvec, dtype=np.float64)
+        order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+        probe_rows.extend((qid, int(c)) for c in order[:nprobe])
+    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
+    qvecs = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "query_id int, qvec array<double>",
+    )
+    cand = index_df.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "embedding"
+    )
+    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    cos = _dot(F.col("embedding"), F.col("qvec")) / (qn * _norm(F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_recall_at_k(
+    df: DataFrame, n_queries: int = 50, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None, index_df: DataFrame | None = None,
+) -> dict:
+    """Mean recall@k of IVF-nprobe vs exact top-k over the first
+    ``n_queries`` vectors, plus the mean probed fraction of the corpus —
+    the recall/cost point that justifies the nprobe knob. Pass
+    ``centroids``/``index_df`` to reuse a built index across nprobe values.
+    Returns {"recall": float, "probed_fraction": float}."""
+    rows = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    queries = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in rows]
+    if not queries:
+        raise ValueError(
+            f"no query vectors found: no rows with {id_col} < {n_queries}"
+        )
+    dim = len(queries[0][1])
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(df, dim, n_centroids=n_centroids,
+                                     id_col=id_col, vec_col=vec_col)
+    if index_df is None:
+        index_df = ivf_index(df, centroids, id_col=id_col, vec_col=vec_col)
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in index_df.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(cell_sizes.values())
+    probed = 0
+    for _, qvec in queries:
+        qv = np.asarray(qvec, dtype=np.float64)
+        order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+        probed += sum(cell_sizes.get(int(c), 0) for c in order[:nprobe])
+    probed_fraction = probed / (n_total * len(queries)) if n_total else 0.0
+
+    queries_df = spark.createDataFrame(
+        [(q, v) for q, v in queries], "query_id int, qvec array<double>"
+    )
+    got = ivf_topk_batch(index_df, centroids, queries, k, nprobe)
+    want = cosine_topk_batch(df, queries_df, k, id_col, vec_col)
+    g = got.groupBy("query_id").agg(F.collect_set("vec_id").alias("got"))
+    wnt = want.groupBy("query_id").agg(F.collect_set("vec_id").alias("want"))
+    per_q = g.join(wnt, "query_id").select(
+        (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
+    )
+    avg = per_q.agg(F.avg("r")).collect()[0][0]
+    return {
+        "recall": round(float(avg), 4) if avg is not None else 0.0,
+        "probed_fraction": round(probed_fraction, 4),
+    }
+
+
+def synthetic_clustered_embeddings(
+    spark, n: int = 4000, dim: int = 64, n_clusters: int = 40,
+    noise: float = 0.25, seed: int = 7,
+) -> DataFrame:
+    """Deterministic CLUSTERABLE embedding corpus (vec_id, embedding, label).
+
+    The driver's embeddings.parquet vectors are i.i.d. noise — nearest
+    neighbors are arbitrary there, so no sublinear ANN structure exists to
+    exploit and recall measurements say nothing about the index. This
+    generator produces the non-adversarial case ANN indexes exist for:
+    ``n_clusters`` unit centers with gaussian jitter (``noise`` × unit).
+    Seeded numpy → bit-stable across runs; built driver-side (the corpus is
+    a benchmark fixture, not a data path)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n)
+    x = centers[labels] + noise * rng.standard_normal((n, dim)) / math.sqrt(dim)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in x[i]], int(labels[i])) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
 
 
 def lsh_topk(

@@ -60,11 +60,21 @@ def _session_fn(gap_ms: int):
                 closed.append((start, last, n, s))
                 start, last, n, s = t, t, 1, float(v)
             else:
+                # an in-gap late event older than the open session's start
+                # still belongs to it — extend the start downward so the
+                # output matches sessionize_batch on out-of-order input
+                start = min(start, t)
                 last = max(last, t)
                 n += 1
                 s += float(v)
         state.update((int(start), int(last), int(n), float(s)))
-        state.setTimeoutTimestamp(int(last) + gap_ms)
+        # Spark requires the timeout to be STRICTLY greater than the current
+        # watermark; clamp up by 1ms when last+gap has already been passed
+        timeout = int(last) + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        if timeout <= wm:
+            timeout = wm + 1
+        state.setTimeoutTimestamp(timeout)
         if closed:
             yield _emit(user, closed)
 

@@ -19,9 +19,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--distributed", action="store_true",
-                    help="run the cursor walk on the executors "
-                         "(per-bucket applyInPandas + driver merge)")
+    ap.add_argument("--distributed", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="force the executor-side cursor walk (per-bucket "
+                         "applyInPandas + driver merge) on/off; default "
+                         "auto-selects by the query's posting volume, "
+                         "preferring distributed at scale")
     ap.add_argument("--exhaustive", action="store_true",
                     help="use the declarative DataFrame scorer instead")
     args = ap.parse_args(argv)
@@ -40,10 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.exhaustive:
         hits = [(r["doc_id"], r["score"])
                 for r in reader.score_exhaustive(args.query, args.k).collect()]
-    elif args.distributed:
-        hits = reader.search_wand_distributed(args.query, args.k)
     else:
-        hits = reader.search_wand(args.query, args.k)
+        # the engine's default path: auto-selects the executor-side walk
+        # unless the query's posting volume makes the driver walk a cheap
+        # small-index fast path (bm25.IndexReader.search)
+        hits = [(r["doc_id"], r["score"])
+                for r in reader.search(args.query, args.k,
+                                       distributed=args.distributed).collect()]
     print(json.dumps({
         "query": args.query,
         "k": args.k,

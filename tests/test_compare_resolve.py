@@ -147,8 +147,14 @@ def test_global_order_rank_matches_global_window(spark):
             for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()}
     assert got == want
 
-    # plan check: the wide relation is range-partitioned, never collapsed to
-    # a single partition (the only SinglePartition allowed is the tiny
-    # per-partition-counts window, whose input is ~num_partitions rows)
-    plan = global_order_rank(df, "uri")._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning(uri" in plan.lower()
+    # plan check: the wide relation reaches the rank stage through the
+    # eagerly-materialized range-partitioned localCheckpoint (scanned as an
+    # existing RDD), never through a fresh global sort — the only
+    # SinglePartition in the post-checkpoint plan is the tiny
+    # per-partition-counts window (~num_partitions rows)
+    out = global_order_rank(df, "uri")
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "scan existingrdd" in plan
+    assert "sortmergejoin" not in plan  # offsets join is a broadcast
+    # no fresh global range-sort of the wide relation after the checkpoint
+    assert "rangepartitioning" not in plan
