@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": Q.q_bm25_scores,
         "bm25_topk_wand": Q.q_bm25_topk_wand,
         "bm25_topk_wand_dist": Q.q_bm25_topk_wand_dist,
+        "bm25_sql_surface": Q.q_bm25_sql_surface,
         # training-data pipeline operators
         "exact_dedup": Q.q_exact_dedup,
         "quality": Q.q_quality,
@@ -296,6 +297,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_wand": bm25_topk_sql,
         "bm25_topk_wand_dist": bm25_topk_sql,
+        # the SQL table-valued surface (SELECT * FROM bm25_search(...)) must
+        # equal the same from-scratch SQL BM25 as the other two paths
+        "bm25_sql_surface": bm25_topk_sql,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    count(*)::BIGINT AS dup_count,

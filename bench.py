@@ -193,7 +193,11 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     }
 
 
-SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "96"))
+# 192 × 5000 docs ≈ 1M docs / ~270 MB text per level: big enough that the
+# parallel stages dominate fixed job overhead at every parallelism level
+# (at 96× the fixed share at 8 cores was ~25% of wall — Amdahl-capped the
+# measurable efficiency well below the engine's own scaling)
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "192"))
 
 
 def _scaling_child(sf_dir: str, cpus: int) -> dict:
@@ -303,10 +307,10 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
     The host's shared vCPUs drift minute-to-minute (same-work burns vary
     several-fold), so cross-window ratios are meaningless. Each round runs
     every level back-to-back (one window) and computes the pair ratios
-    WITHIN the round; the reported number per pair is the best round's
-    ratio (the box's demonstrated capability), with every round listed for
-    transparency and the round's own CPU/memory burns as the hardware
-    ceiling. Levels (2, 8, 32) give the 2→8 and 8→32 ×4 pairs."""
+    WITHIN the round; the reported number per pair is the MEDIAN round's
+    ratio (the representative window), with the best round and every round
+    listed for transparency and the round's own CPU/memory burns as the
+    hardware ceiling. Levels (2, 8, 32) give the 2→8 and 8→32 ×4 pairs."""
     if levels is None:
         levels = tuple(int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
@@ -316,9 +320,12 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
     for rnd in range(rounds):
         window: dict[int, dict] = {}
         for cpus in levels:
+            env = dict(os.environ)
+            repo = os.path.dirname(os.path.abspath(__file__))
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
             out = subprocess.run(
                 [sys.executable, __file__, "--scaling-child", str(cpus), sf_dir],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=True, env=env,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             window[cpus] = json.loads(line)
@@ -327,13 +334,20 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
             for lo, hi in zip(levels, levels[1:])
         }
         all_rounds.append({"levels": window, "burns": burns})
-        # stop early if the top pair already demonstrates the target
+        # stop early only when the MEDIAN of the top pair's rounds so far
+        # already meets the target (median is the reported headline, so
+        # stopping on a single lucky round would bias it)
         top = (levels[-2], levels[-1])
-        sp = (window[top[1]]["docs_per_sec"] / window[top[0]]["docs_per_sec"])
-        if rnd >= 1 and sp / (top[1] / top[0]) >= 0.8:
+        sps = sorted(
+            rd["levels"][top[1]]["docs_per_sec"]
+            / rd["levels"][top[0]]["docs_per_sec"]
+            for rd in all_rounds
+        )
+        med_sp = sps[(len(sps) - 1) // 2]
+        if rnd >= 2 and med_sp / (top[1] / top[0]) >= 0.8:
             break
 
-    def _pair(lo: int, hi: int) -> dict:
+    def _round_rows(lo: int, hi: int) -> list[dict]:
         rows = []
         for rd in all_rounds:
             r_n, r_4n = rd["levels"][lo], rd["levels"][hi]
@@ -351,57 +365,83 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
                 "hw_mem_speedup": rd["burns"][(lo, hi)]["mem"],
                 "n_wall": r_n["seconds"], "four_n_wall": r_4n["seconds"],
             })
-        best = max(rows, key=lambda r: r["speedup"])
+        return rows
+
+    def _pair(lo: int, hi: int, rows: list[dict]) -> dict:
+        # HEADLINE = the MEDIAN round (by speedup): the representative
+        # window on a drifting shared box. The best round is reported
+        # alongside as the box's demonstrated capability.
+        by_speedup = sorted(rows, key=lambda r: r["speedup"])
+        median = by_speedup[(len(by_speedup) - 1) // 2]
+        best = by_speedup[-1]
         return {
-            "n": lo, "four_n": hi, **best,
+            "n": lo, "four_n": hi, **median,
+            "best_speedup": best["speedup"],
+            "best_efficiency": best["efficiency"],
+            "best_stage_efficiency": best["stage_efficiency"],
+            "best_hw_cpu_speedup": best["hw_cpu_speedup"],
+            "best_hw_mem_speedup": best["hw_mem_speedup"],
             "hw_normalized_efficiency": (
-                best["speedup"] / best["hw_mem_speedup"]
-                if best["hw_mem_speedup"] else None),
+                median["speedup"] / median["hw_mem_speedup"]
+                if median["hw_mem_speedup"] else None),
             "all_rounds": rows,
         }
 
-    pairs = [_pair(levels[i], levels[i + 1]) for i in range(len(levels) - 1)]
-    # merge with previous invocations: scaling is measured on a drifting
-    # shared box, so the best demonstrated window is kept ACROSS runs
-    # (every round of every run remains listed in all_rounds)
+    # merge with previous invocations OF THE SAME ENGINE REVISION — the
+    # median must represent the current code, so a rev change invalidates
+    # accumulated rounds (the old numbers stay in git history)
+    rev = _engine_rev()
     hist_path = os.path.join("BENCH", "scaling_best.json")
     try:
         with open(hist_path) as f:
-            hist = {(p["n"], p["four_n"]): p for p in json.load(f)}
+            raw = json.load(f)
+        hist_rounds = (
+            {tuple(k.split(":")): v for k, v in raw["rounds"].items()}
+            if isinstance(raw, dict) and raw.get("rev") == rev else {}
+        )
     except (OSError, ValueError):
-        hist = {}
-    merged = []
-    measured = {(p["n"], p["four_n"]) for p in pairs}
-    for p in pairs:
-        prev = hist.pop((p["n"], p["four_n"]), None)
-        if prev:
-            p["all_rounds"] = prev.get("all_rounds", []) + p["all_rounds"]
-            if prev["speedup"] > p["speedup"]:
-                keep_rounds = p["all_rounds"]
-                p = prev
-                p["all_rounds"] = keep_rounds
-        merged.append(p)
-    # pairs measured in earlier runs but not this one stay on record
-    merged.extend(hist.values())
-    merged.sort(key=lambda p: (p["n"], p["four_n"]))
-    pairs = merged
+        hist_rounds = {}
+
+    pairs = []
+    store: dict[str, list] = {}
+    for i in range(len(levels) - 1):
+        lo, hi = levels[i], levels[i + 1]
+        rows = hist_rounds.get((str(lo), str(hi)), []) + _round_rows(lo, hi)
+        store[f"{lo}:{hi}"] = rows
+        pairs.append(_pair(lo, hi, rows))
     os.makedirs("BENCH", exist_ok=True)
     with open(hist_path, "w") as f:
-        json.dump(pairs, f)
+        json.dump({"rev": rev, "rounds": store}, f)
     primary = pairs[-1]
-    # representative per-level rows from the primary pair's best round
-    best_idx = max(range(len(all_rounds)), key=lambda i: (
-        all_rounds[i]["levels"][levels[-1]]["docs_per_sec"]
-        / all_rounds[i]["levels"][levels[-2]]["docs_per_sec"]))
+    # representative per-level rows from the primary pair's median round
+    ratios = sorted(
+        range(len(all_rounds)), key=lambda i: (
+            all_rounds[i]["levels"][levels[-1]]["docs_per_sec"]
+            / all_rounds[i]["levels"][levels[-2]]["docs_per_sec"]))
+    med_idx = ratios[(len(ratios) - 1) // 2]
     return {
-        "levels": [all_rounds[best_idx]["levels"][c] for c in levels],
+        "levels": [all_rounds[med_idx]["levels"][c] for c in levels],
         "pairs": pairs,
         "speedup": primary["speedup"],
         "efficiency": primary["efficiency"],
+        "best_speedup": primary["best_speedup"],
+        "best_efficiency": primary["best_efficiency"],
         "hw_cpu_speedup": primary["hw_cpu_speedup"],
         "hw_mem_speedup": primary["hw_mem_speedup"],
         "hw_normalized_efficiency": primary["hw_normalized_efficiency"],
     }
+
+
+def _engine_rev() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
+        return out.stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
 
 
 def _burn(n):
@@ -475,11 +515,12 @@ advertised 4× this single box actually offers in each window.
         )
         pair_sections.append(f"""### {p['n']} → {p['four_n']} cores (×{p['four_n']//p['n']})
 
-- engine speedup (best same-window round): **{p['speedup']:.2f}×** → raw efficiency **{p['efficiency']:.2f}**
-- per-stage raw efficiency in that round: {se}
-- hardware capacity measured in the same round: CPU burn
+- engine speedup (MEDIAN same-window round — the headline): **{p['speedup']:.2f}×** → raw efficiency **{p['efficiency']:.2f}**
+- per-stage raw efficiency in the median round: {se}
+- hardware capacity measured in the median round: CPU burn
   {p['hw_cpu_speedup']:.2f}×, memory-streaming burn {p['hw_mem_speedup']:.2f}×
-- engine speedup ÷ memory-bandwidth speedup: {_fmt2(p['hw_normalized_efficiency'])}
+- engine speedup ÷ memory-bandwidth speedup (median round): {_fmt2(p['hw_normalized_efficiency'])}
+- best round for context: {p.get('best_speedup', p['speedup']):.2f}× (raw eff {p.get('best_efficiency', p['efficiency']):.2f}), same-round hw CPU burn {p.get('best_hw_cpu_speedup', p['hw_cpu_speedup']):.2f}×
 
 All rounds (same-window N / 4N wall s, ratio, raw eff, hw burns; docs =
 replicated corpus size for that round):
@@ -489,7 +530,7 @@ replicated corpus size for that round):
 {rounds_tbl}
 """)
     capacity_lines = "\n".join(
-        f"- {p['n']}→{p['four_n']}: best engine speedup "
+        f"- {p['n']}→{p['four_n']}: median engine speedup "
         f"**{p['speedup']:.2f}×** against a same-round hardware CPU-burn "
         f"capacity of {p['hw_cpu_speedup']:.2f}× (of a theoretical "
         f"{p['four_n']//p['n']}×) — the engine converted "
@@ -507,8 +548,8 @@ the same index-build job, same input ({bench['sf']} documents replicated
 overhead), at parallelism levels {[r['cpus'] for r in scaling['levels']]} in
 fresh JVMs. The host's shared vCPUs drift several-fold minute to minute,
 so each ROUND runs every level back-to-back in one window and ratios are
-computed within the round; the headline per pair is the best round (the
-box's demonstrated capability) and every round is listed below. RAW
+computed within the round; the headline per pair is the MEDIAN round
+(best shown for context) and every round is listed below. RAW
 efficiencies are the primary numbers; CPU/memory burns from the same round
 give the hardware's actual capacity for context.
 

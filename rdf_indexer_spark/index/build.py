@@ -44,7 +44,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_col
@@ -256,24 +256,15 @@ def build_index(
             )
         )
 
-        # Per-bucket lineage metrics ride the write job itself (Observation:
-        # conditional aggregates collected while the rows stream to parquet)
-        # instead of a separate re-scan — one full pass over the docstore
-        # saved per group, which at 100 TB is a whole job's worth of I/O.
-        sha_num = F.conv(
-            F.substring("content_sha256", 1, 15), 16, 10
-        ).cast("decimal(38,0)")
-        doc_obs = Observation(f"docstore_g{gstart}")
-        doc_aggs = []
-        for b in group:
-            in_b = F.col("part") == b
-            doc_aggs += [
-                F.count(F.when(in_b, True)).alias(f"rows_{b}"),
-                F.sum(F.when(in_b, F.col("dl"))).alias(f"tokens_{b}"),
-                F.sum(F.when(in_b, sha_num)).alias(f"sha_{b}"),
-            ]
-        _write_parts(enriched.drop("toks").observe(doc_obs, *doc_aggs),
-                     paths.docstore)
+        # Per-bucket lineage metrics come from a column-pruned re-scan of
+        # the files just written (groupBy part: ONE hash-agg update per row)
+        # — NOT from an Observation riding the write. Observation needs
+        # 3·|group| conditional aggregate buffers evaluated per row, and
+        # that measured as ~30-40% of the ENTIRE build wall-clock at every
+        # parallelism level (BENCH diagnostics); the pruned re-scan reads
+        # only (part, dl, content_sha256) / (part, n) and is a short, fully
+        # parallel job.
+        _write_parts(enriched.drop("toks"), paths.docstore)
 
         # postings: map-side partial agg collapses duplicate (term, doc)
         # pairs before the shuffle; the aligned repartition then clusters
@@ -293,13 +284,6 @@ def build_index(
         # (_pack_stream). With write_postings the sorted stream is also
         # persisted as the postings table and packed from the files (read
         # back with splitting disabled so no group straddles a task).
-        # posting counts likewise ride the blocks write via Observation —
-        # no re-read of the just-written block files
-        blk_obs = Observation(f"blocks_g{gstart}")
-        blk_aggs = [
-            F.sum(F.when(F.col("part") == b, F.col("n"))).alias(f"np_{b}")
-            for b in group
-        ]
         if write_postings:
             _write_parts(postings, paths.postings)
             old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -309,30 +293,34 @@ def build_index(
                     part_col.isin(group)
                 )
                 blocks = src.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-                _write_parts(blocks.observe(blk_obs, *blk_aggs), paths.blocks)
+                _write_parts(blocks, paths.blocks)
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         else:
             blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-            _write_parts(blocks.observe(blk_obs, *blk_aggs), paths.blocks)
+            _write_parts(blocks, paths.blocks)
 
-        metrics = doc_obs.get
-        n_post = blk_obs.get
+        doc_m, post_m = _group_metrics(spark, paths, group)
         for b in group:
+            dm = doc_m.get(b, {})
             manifest.finish(
                 "build", _key(b),
-                rows=int(metrics.get(f"rows_{b}") or 0),
-                tokens=int(metrics.get(f"tokens_{b}") or 0),
-                postings=int(n_post.get(f"np_{b}") or 0),
-                sha_agg=str(metrics.get(f"sha_{b}") or 0),
+                rows=int(dm.get("rows") or 0),
+                tokens=int(dm.get("tokens") or 0),
+                postings=int(post_m.get(b) or 0),
+                sha_agg=str(dm.get("sha") or 0),
             )
 
     if not (resume and manifest.is_done("finalize", "stats")):
-        docstore = spark.read.parquet(paths.docstore)
-        stats = docstore.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
+        # corpus stats come from the per-bucket lineage metrics the build
+        # jobs already Observed — no re-scan of the docstore (at 100 TB
+        # that scan is a whole job's worth of I/O, and it was also a fixed
+        # serial cost in the scaling measurements)
+        s = manifest.summary()
+        n, tot = s["rows"], s["tokens"]
+        stats = spark.createDataFrame(
+            [(int(n), (float(tot) / n) if n else 0.0, int(tot))],
+            "n_docs long, avgdl double, total_tokens long",
         )
         stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
         # term statistics from block metadata (df = Σ n, cf = Σ tf_sum) —
@@ -346,6 +334,43 @@ def build_index(
         manifest.finish("finalize", "stats")
 
     return manifest.summary()
+
+
+def _group_metrics(
+    spark: SparkSession, paths: IndexPaths, group: list[int],
+) -> tuple[dict, dict]:
+    """Per-bucket lineage metrics from column-pruned scans of the freshly
+    written group files: (rows, tokens, order-independent content-sha
+    checksum) per bucket from the docstore; posting counts per bucket from
+    block metadata. Both scans prune to the group's hive partitions and to
+    3 / 2 columns — short fully-parallel jobs."""
+    part_in = F.col("part").isin(group)
+    sha_num = F.conv(
+        F.substring("content_sha256", 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    doc_rows = (
+        spark.read.parquet(paths.docstore)
+        .filter(part_in)
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("dl").alias("tokens"),
+            F.sum(sha_num).alias("sha"),
+        )
+        .collect()
+    )
+    doc_m = {
+        r["part"]: {"rows": r["rows"], "tokens": r["tokens"], "sha": r["sha"]}
+        for r in doc_rows
+    }
+    post_rows = (
+        spark.read.parquet(paths.blocks)
+        .filter(part_in)
+        .groupBy("part")
+        .agg(F.sum("n").alias("np"))
+        .collect()
+    )
+    return doc_m, {r["part"]: r["np"] for r in post_rows}
 
 
 def _key(bucket: int) -> str:

@@ -27,11 +27,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_col
-from .build import BLOCK_SCHEMA, IndexPaths, _pack_stream, _write_parts
+from .build import (BLOCK_SCHEMA, IndexPaths, _group_metrics, _pack_stream,
+                    _write_parts)
 from .manifest import Manifest
 
 
@@ -118,20 +119,14 @@ def append_documents(
             "toks",
             *[F.col(c) for c in meta_cols],
         )
-        .persist()
     )
     group = list(range(part_base, part_base + num_buckets))
-    sha_num = F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("decimal(38,0)")
-    obs = Observation("append_docstore")
-    aggs = []
-    for b in group:
-        in_b = F.col("part") == b
-        aggs += [
-            F.count(F.when(in_b, True)).alias(f"rows_{b}"),
-            F.sum(F.when(in_b, F.col("dl"))).alias(f"tokens_{b}"),
-            F.sum(F.when(in_b, sha_num)).alias(f"sha_{b}"),
-        ]
-    _write_parts(enriched.drop("toks").observe(obs, *aggs), paths.docstore)
+    # no persist / no Observation: same rationale as build_index — recompute
+    # of the narrow tokenize chain beats caching token arrays, and the
+    # per-bucket metrics come from a column-pruned re-scan of the freshly
+    # written files instead of O(|group|) conditional aggregate buffers
+    # riding the write (measured 30-40% of build wall-clock)
+    _write_parts(enriched.drop("toks"), paths.docstore)
 
     postings = (
         enriched.select("part", "doc_id", "dl", F.explode("toks").alias("term"))
@@ -141,27 +136,22 @@ def append_documents(
                      F.col("part"), F.xxhash64("term"))
         .sortWithinPartitions("part", "term", "doc_id")
     )
-    blk_obs = Observation("append_blocks")
-    blk_aggs = [
-        F.sum(F.when(F.col("part") == b, F.col("n"))).alias(f"np_{b}")
-        for b in group
-    ]
     blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-    _write_parts(blocks.observe(blk_obs, *blk_aggs), paths.blocks)
+    _write_parts(blocks, paths.blocks)
 
     if os.path.exists(paths.postings):
         _write_parts(postings, paths.postings)
 
-    metrics, n_post = obs.get, blk_obs.get
-    new_tokens = sum(int(metrics.get(f"tokens_{b}") or 0) for b in group)
-    enriched.unpersist()
+    doc_m, post_m = _group_metrics(spark, paths, group)
+    new_tokens = sum(int(doc_m.get(b, {}).get("tokens") or 0) for b in group)
     for b in group:
+        dm = doc_m.get(b, {})
         manifest.finish(
             "append", f"bucket={b:05d}",
-            rows=int(metrics.get(f"rows_{b}") or 0),
-            tokens=int(metrics.get(f"tokens_{b}") or 0),
-            postings=int(n_post.get(f"np_{b}") or 0),
-            sha_agg=str(metrics.get(f"sha_{b}") or 0),
+            rows=int(dm.get("rows") or 0),
+            tokens=int(dm.get("tokens") or 0),
+            postings=int(post_m.get(b) or 0),
+            sha_agg=str(dm.get("sha") or 0),
         )
 
     # stats combine EXACTLY (no re-scan of old text)

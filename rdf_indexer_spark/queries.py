@@ -385,6 +385,20 @@ def q_bm25_topk_wand_dist(spark, sf):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_sql_surface(spark, sf):
+    """Q-9 through the SQL table-valued surface: ``SELECT * FROM
+    bm25_search('…', 10)`` (index/sqlsurface.py — a Python UDTF running the
+    same WAND cursor walk executor-side over pyarrow-read blocks). Oracle:
+    the same from-scratch SQL BM25 top-10 as bm25_topk_wand."""
+    from .index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, _index_for(spark, sf))
+    q = " ".join(BM25_QUERY_TERMS)
+    return spark.sql(
+        f"SELECT doc_id, round(score, 4) AS score FROM bm25_search('{q}', 10)"
+    )
+
+
 def q_exact_dedup(spark, sf):
     """Exact dedup groups: content-hash groupBy."""
     return (

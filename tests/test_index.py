@@ -251,3 +251,27 @@ def test_rank_determinism_across_partitioning(spark, tmp_path):
         a = readers[0].search_wand(q, 25)
         b = readers[1].search_wand(q, 25)
         assert a == b, q  # exact: same docIDs AND bit-identical scores
+
+
+def test_sql_surface_identity(spark, index_dir):
+    """``SELECT * FROM bm25_search(q, k)`` (Python UDTF, executor-side
+    pyarrow block reads) must be rank- AND score-identical to the driver
+    cursor walk — shared cursors, shared tokenizer, shared idf."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, index_dir)
+    reader = IndexReader(spark, index_dir)
+    for q in ("the", "needle", "alpha beta gamma"):
+        got = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in spark.sql(
+                f"SELECT * FROM bm25_search('{q}', 15)"
+            ).orderBy("rank").collect()
+        ]
+        want = [(d, s, i + 1)
+                for i, (d, s) in enumerate(reader.search_wand(q, 15))]
+        assert got == want, q
+    # zero-hit and empty queries yield empty tables, not errors
+    assert spark.sql("SELECT * FROM bm25_search('zzznotaword', 5)").count() == 0
+    assert spark.sql("SELECT * FROM bm25_search('', 5)").count() == 0

@@ -122,3 +122,34 @@ def test_delete_by_query_on_docstore(spark, tmp_path):
     hits = reader.search_wand("shared", 60)
     assert all(d >= 30 for d, _ in hits)
     assert len(hits) == 30
+
+
+def test_large_tombstone_set_broadcast_not_closure(spark, tmp_path):
+    """10^5 tombstoned ids must NOT ride every task closure: the reader
+    broadcasts the set once (bm25.IndexReader._tomb_bc) and the distributed
+    walk's closure serializes to O(1) — plus the search stays correct."""
+    import numpy as np
+    from pyspark.serializers import CloudPickleSerializer
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import delete_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"needle common w{i % 7}") for i in range(80)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "bigtomb")
+    build_index(spark, docs, idx, num_buckets=2, resume=False)
+    # tombstone 100k ids (most beyond the corpus — size is what matters)
+    delete_docs(spark, idx, list(range(40, 100_040)))
+    reader = IndexReader(spark, idx)
+    assert len(reader.tombstones) == 100_000
+    # the broadcast HANDLE pickles to O(1); the raw array is ~800 KB
+    ser = CloudPickleSerializer()
+    assert len(ser.dumps(reader._tomb_bc)) < 10_000
+    assert reader.tombstones.nbytes >= 800_000
+    # correctness through the executor-side path
+    hits = reader.search_wand_distributed("needle", 50)
+    assert hits == reader.search_wand("needle", 50)
+    assert {d for d, _ in hits} == set(range(40))

@@ -119,3 +119,18 @@ def test_build_postings_single_shuffle_reuse(spark, tmp_path):
     # structural check happens implicitly: blocks exist and are term-sorted
     blocks = spark.read.parquet(os.path.join(out, "blocks"))
     assert blocks.count() > 0
+
+
+def test_kmeans_sample_has_no_global_sort(spark):
+    """IVF training-sample plan must be scan→filter (hash-stride), never a
+    global TakeOrdered/Sort over the corpus (VERDICT r2 #6)."""
+    from rdf_indexer_spark.similarity import kmeans_sample
+
+    df = spark.range(10_000).selectExpr(
+        "id as vec_id", "array(cast(id as float)) as embedding"
+    )
+    plan = kmeans_sample(df, sample=100, n_rows=10_000)._jdf.queryExecution(
+    ).executedPlan().toString().lower()
+    assert "takeordered" not in plan
+    assert "sortexec" not in plan and "rangepartitioning" not in plan
+    assert "filter" in plan
