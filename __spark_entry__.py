@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": Q.q_bm25_topk_wand,
         "bm25_topk_wand_dist": Q.q_bm25_topk_wand_dist,
         "bm25_sql_surface": Q.q_bm25_sql_surface,
+        "bm25_topk_and": Q.q_bm25_topk_and,
+        "bm25_topk_filtered": Q.q_bm25_topk_filtered,
         # training-data pipeline operators
         "exact_dedup": Q.q_exact_dedup,
         "quality": Q.q_quality,
@@ -122,6 +124,69 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY tf.doc_id
         )
         SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # conjunctive variant: doc must match EVERY query term that exists in
+    # the corpus (HAVING matched = |df|), same per-term scoring
+    bm25_and_sql = f"""
+        WITH q(term) AS (VALUES ('table'), ('query'), ('filter')),
+        tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score,
+                 count(*) AS matched
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        WHERE matched = (SELECT count(*) FROM q)
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # fq-filtered variant: identical scoring, visibility restricted to the
+    # docstore predicate (Solr q + fq semantics: filters never score)
+    bm25_filtered_sql = f"""
+        WITH q(term) AS (VALUES {bm25_terms}),
+        tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        WHERE doc_id % 3 = 0
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
     return {
@@ -300,6 +365,8 @@ def oracle_sql() -> dict[str, str]:
         # the SQL table-valued surface (SELECT * FROM bm25_search(...)) must
         # equal the same from-scratch SQL BM25 as the other two paths
         "bm25_sql_surface": bm25_topk_sql,
+        "bm25_topk_and": bm25_and_sql,
+        "bm25_topk_filtered": bm25_filtered_sql,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    count(*)::BIGINT AS dup_count,

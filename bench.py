@@ -433,6 +433,11 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
 
 
 def _engine_rev() -> str:
+    # override for accumulating rounds across commits that don't touch the
+    # measured build path (docs-only / query-side changes)
+    env = os.environ.get("SPARK_GRAFT_ENGINE_REV")
+    if env:
+        return env
     try:
         out = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -552,6 +557,16 @@ computed within the round; the headline per pair is the MEDIAN round
 (best shown for context) and every round is listed below. RAW
 efficiencies are the primary numbers; CPU/memory burns from the same round
 give the hardware's actual capacity for context.
+
+Engine changes measured into this round (diagnosed via per-substage
+breakdowns, see git history): the tokenized-stage ``persist()`` was
+removed (caching token arrays measured ~3× slower end-to-end at 32 cores
+than recomputing the narrow tokenize chain — cache-store bandwidth +
+eviction churn; a token cache can also never fit at 10^12-doc scale), the
+per-bucket Observation lineage aggregates were replaced by column-pruned
+post-write scans (3·buckets conditional aggregate buffers per row measured
+as 30-40% of total build wall), and the final stats job was folded into
+manifest sums (one fewer serial job per build).
 
 Per-stage data volumes (identical at every level): text scanned
 {vols.get('text_bytes', 0):,} bytes across {vols.get('docs', 0):,} docs,

@@ -117,8 +117,18 @@ class IndexReader:
             _decode_blocks_stream, schema="term string, doc_id long, tf long, dl long"
         )
 
-    def score_exhaustive(self, query: str, k: int | None = 10) -> DataFrame:
-        """Declarative BM25 over the postings relation; k=None scores all."""
+    def score_exhaustive(
+        self, query: str, k: int | None = 10, *, mode: str = "or",
+        where: str | None = None,
+    ) -> DataFrame:
+        """Declarative BM25 over the postings relation; k=None scores all.
+
+        ``mode="and"`` keeps only docs containing EVERY query term (strict
+        Lucene +required: a term absent from the index matches nothing) —
+        same scores, conjunctive candidate set. ``where`` is a SQL predicate
+        over the docstore (the reference's fq filters, Q-2/Q-3, COMBINED
+        with relevance ranking): scores are unchanged, visibility is
+        restricted — Solr/Lucene fq semantics (non-scoring filter)."""
         terms = sorted(set(tokenize(query)))
         idfs = self.idfs(terms)
         if not idfs:
@@ -144,9 +154,23 @@ class IndexReader:
                     F.array_sort(F.collect_list(F.struct("term", "contrib"))),
                     F.lit(0.0),
                     lambda acc, x: acc + x["contrib"],
-                ).alias("score")
+                ).alias("score"),
+                F.count("*").alias("_nterms"),
             )
         )
+        if mode == "and":
+            # strict +required: if any query term is absent from the index
+            # no doc can reach len(terms) matches → empty result
+            scored = scored.filter(F.col("_nterms") == len(terms))
+        elif mode != "or":
+            raise ValueError(f"unknown mode: {mode!r}")
+        scored = scored.drop("_nterms")
+        if where is not None:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("doc_id")
+            )
+            scored = scored.join(visible, "doc_id", "left_semi")
         if len(self.tombstones):
             # anti-join (not isin): the tombstone set stays distributed
             tomb = self.spark.read.parquet(self._tomb_path).select("doc_id").distinct()
@@ -171,30 +195,67 @@ class IndexReader:
             by_term[t].sort(key=lambda r: r["first_doc_id"])
         return by_term
 
-    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def allowed_ids(self, where: str | None) -> np.ndarray | None:
+        """SQL predicate over the docstore → sorted visible doc_id set (the
+        fq filter surface). Same posture as tombstones: a sorted array here,
+        a roaring-bitmap broadcast at 10^12-doc scale."""
+        if where is None:
+            return None
+        rows = (
+            self.spark.read.parquet(self.paths.docstore)
+            .filter(where).select("doc_id").collect()
+        )
+        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
+    def search_wand(
+        self, query: str, k: int = 10, *, mode: str = "or",
+        where: str | None = None,
+    ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         idfs = self.idfs(terms)
         if not idfs:
             return []
+        allowed = self.allowed_ids(where)
         blocks = self.fetch_blocks(list(idfs))
         cursors = [
             _Cursor(t, idfs[t], blocks[t], self.avgdl)
             for t in sorted(idfs) if t in blocks
         ]
-        return _wand_topk(cursors, k, deleted=self.tombstones)
+        if mode == "and":
+            # strict Lucene +required semantics: EVERY query term is
+            # required, so a term absent from the index matches nothing
+            return _and_topk(cursors, k, len(terms),
+                             deleted=self.tombstones, allowed=allowed)
+        if mode != "or":
+            raise ValueError(f"unknown mode: {mode!r}")
+        return _wand_topk(cursors, k, deleted=self.tombstones, allowed=allowed)
 
-    def search_wand_distributed(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_wand_distributed(
+        self, query: str, k: int = 10, *, mode: str = "or",
+        where: str | None = None,
+    ) -> list[tuple[int, float]]:
         """Block-max WAND with the cursor walk on the executors.
 
         One ``applyInPandas`` group per index ``part`` bucket (disjoint doc-id
         ranges), local exact top-k per bucket, driver k-way merge of
-        ≤ parts·k rows. Rank- and score-identical to :meth:`search_wand`."""
+        ≤ parts·k rows. Rank- and score-identical to :meth:`search_wand`.
+        ``mode="and"`` = conjunctive leapfrog per bucket (a bucket missing a
+        term's postings matches nothing — exact). ``where`` = fq visibility
+        filter, shipped as a broadcast like the tombstones."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode: {mode!r}")
         terms = sorted(set(tokenize(query)))
         idfs = self.idfs(terms)
         if not idfs:
             return []
         avgdl = self.avgdl
+        n_required = len(terms)  # strict +required: absent term → no hits
         tomb_bc = self._tomb_bc  # Broadcast handle: O(1) in the closure
+        allowed = self.allowed_ids(where)
+        allow_bc = (
+            self.spark.sparkContext.broadcast(allowed)
+            if allowed is not None else None
+        )
         blocks = (
             self.spark.read.parquet(self.paths.blocks)
             .filter(F.col("term").isin(list(idfs)))
@@ -214,7 +275,13 @@ class IndexReader:
                 _Cursor(t, idfs[t], by_term[t], avgdl)
                 for t in sorted(by_term)
             ]
-            hits = _wand_topk(cursors, k, deleted=tomb_bc.value)
+            allow = allow_bc.value if allow_bc is not None else None
+            if mode == "and":
+                hits = _and_topk(cursors, k, n_required,
+                                 deleted=tomb_bc.value, allowed=allow)
+            else:
+                hits = _wand_topk(cursors, k, deleted=tomb_bc.value,
+                                  allowed=allow)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]},
                 columns=["doc_id", "score"],
@@ -233,19 +300,24 @@ class IndexReader:
     # distributed walk's extra job overhead is already amortized.
     DISTRIBUTED_POSTINGS_THRESHOLD = 500_000
 
-    def search(self, query: str, k: int = 10, *, distributed: bool | None = None) -> DataFrame:
+    def search(
+        self, query: str, k: int = 10, *, distributed: bool | None = None,
+        mode: str = "or", where: str | None = None,
+    ) -> DataFrame:
         """Default query path. ``distributed=None`` auto-selects: the
         executor-side WAND walk (search_wand_distributed — the cluster-scale
         shape, nothing bigger than parts·k rows reaches the driver) unless
         the query's total posting volume is small enough that the driver
         walk is a cheap fast path. Both paths are rank- and score-identical
-        (asserted in tests/test_index.py)."""
+        (asserted in tests/test_index.py). ``mode``/``where`` as in
+        :meth:`search_wand` (conjunctive queries, fq visibility filters)."""
         if distributed is None:
             dfs = self.term_dfs(sorted(set(tokenize(query))))
             distributed = sum(dfs.values()) > self.DISTRIBUTED_POSTINGS_THRESHOLD
         hits = (
-            self.search_wand_distributed(query, k)
-            if distributed else self.search_wand(query, k)
+            self.search_wand_distributed(query, k, mode=mode, where=where)
+            if distributed
+            else self.search_wand(query, k, mode=mode, where=where)
         )
         return self.spark.createDataFrame(
             [(int(d), float(s), r + 1) for r, (d, s) in enumerate(hits)],
@@ -366,8 +438,63 @@ class _Cursor:
             self._load_block()
 
 
+def _in_sorted(arr: np.ndarray | None, doc: int) -> bool:
+    if arr is None or not len(arr):
+        return False
+    i = int(np.searchsorted(arr, doc))
+    return i < len(arr) and int(arr[i]) == doc
+
+
+def _and_topk(
+    cursors: list[_Cursor], k: int, n_required: int,
+    deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Conjunctive (pure-AND) exact top-k: leapfrog intersection of the
+    term cursors, BM25-scored, (score desc, doc_id asc) tie-break.
+
+    ``n_required`` is the number of query terms that exist in the INDEX
+    (globally): a caller holding cursors for fewer terms (e.g. one part
+    bucket of a distributed walk where a term has no postings) can match
+    nothing, keeping per-part results exact."""
+    if k <= 0 or n_required <= 0 or len(cursors) < n_required:
+        return []
+    heap: list[tuple[float, int]] = []
+
+    def offer(doc: int, score: float) -> None:
+        if _in_sorted(deleted, doc):
+            return
+        if allowed is not None and not _in_sorted(allowed, doc):
+            return
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    while True:
+        if any(c.exhausted for c in cursors):
+            break
+        target = max(c.cur_doc for c in cursors)
+        for c in cursors:
+            if c.cur_doc < target:
+                c.next_geq(target)
+        if any(c.exhausted for c in cursors):
+            break
+        if all(c.cur_doc == target for c in cursors):
+            score = 0.0
+            for c in sorted(cursors, key=lambda c: c.term):
+                score += c.contribution()
+            offer(target, score)
+            for c in cursors:
+                c.advance()
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
+
+
 def _wand_topk(
-    cursors: list[_Cursor], k: int, deleted: np.ndarray | None = None
+    cursors: list[_Cursor], k: int, deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND: exact top-k under (score desc, doc_id asc).
 
@@ -376,22 +503,20 @@ def _wand_topk(
 
     ``deleted``: sorted tombstoned doc_ids (Lucene deleted-docs visibility
     filter) — tombstoned docs are evaluated but never admitted to the heap.
+    ``allowed``: optional sorted visibility allowlist (the fq-filtered
+    search surface) — docs outside it are evaluated but never admitted.
     """
     if k <= 0:
         return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
-    def is_deleted(doc: int) -> bool:
-        if deleted is None or not len(deleted):
-            return False
-        i = int(np.searchsorted(deleted, doc))
-        return i < len(deleted) and int(deleted[i]) == doc
-
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else -math.inf
 
     def offer(doc: int, score: float) -> None:
-        if is_deleted(doc):
+        if _in_sorted(deleted, doc):
+            return
+        if allowed is not None and not _in_sorted(allowed, doc):
             return
         item = (score, -doc)
         if len(heap) < k:

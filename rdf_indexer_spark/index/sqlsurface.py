@@ -104,7 +104,7 @@ def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
 
     Returns the registered UDTF handle. The index path is bound at
     registration time (SQL callers pass only the query string and k)."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     class BM25Search:
         def eval(self, query: str, k: int):

@@ -385,6 +385,37 @@ def q_bm25_topk_wand_dist(spark, sf):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_and(spark, sf):
+    """Conjunctive (pure-AND) BM25 top-10 — Lucene +required semantics:
+    only docs containing EVERY query term, leapfrog cursor intersection
+    (bm25._and_topk). Oracle: the from-scratch SQL BM25 with a HAVING
+    matched-terms = |index-present query terms| clause."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_wand("table query filter", 10, mode="and")
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_filtered(spark, sf):
+    """BM25 top-10 under an fq visibility filter (Q-2/Q-3 COMBINED with
+    Q-9, the Solr q+fq shape): scores unchanged, only docs satisfying the
+    docstore predicate are admissible. Routed through the DISTRIBUTED walk
+    (filter ships as a broadcast). Oracle: the same SQL BM25 with the
+    predicate on the final selection."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_wand_distributed(
+        " ".join(BM25_QUERY_TERMS), 10, where="doc_id % 3 = 0"
+    )
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_sql_surface(spark, sf):
     """Q-9 through the SQL table-valued surface: ``SELECT * FROM
     bm25_search('…', 10)`` (index/sqlsurface.py — a Python UDTF running the

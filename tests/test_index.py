@@ -275,3 +275,54 @@ def test_sql_surface_identity(spark, index_dir):
     # zero-hit and empty queries yield empty tables, not errors
     assert spark.sql("SELECT * FROM bm25_search('zzznotaword', 5)").count() == 0
     assert spark.sql("SELECT * FROM bm25_search('', 5)").count() == 0
+
+
+def test_and_mode_identity_and_semantics(spark, index_dir):
+    """Conjunctive mode: all three paths agree, and every hit contains
+    every index-present query term."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    for q in ("the alpha", "w1 w2", "needle the"):
+        a = reader.search_wand(q, 20, mode="and")
+        b = reader.search_wand_distributed(q, 20, mode="and")
+        assert a == b, q
+        ex = [(r["doc_id"], r["score"])
+              for r in reader.score_exhaustive(q, 20, mode="and").collect()]
+        assert [d for d, _ in ex] == [d for d, _ in a]
+        for (d1, s1), (d2, s2) in zip(ex, a):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        # AND ⊆ OR with identical scores for shared docs
+        or_hits = dict(reader.search_wand(q, 10_000))
+        for d, s in a:
+            assert or_hits[d] == s
+    # strict Lucene +required: a required term absent from the index
+    # matches NOTHING (on every path)
+    assert reader.search_wand("the zzznotaword", 10, mode="and") == []
+    assert reader.search_wand_distributed("the zzznotaword", 10, mode="and") == []
+    assert reader.score_exhaustive("the zzznotaword", 10, mode="and").count() == 0
+
+
+def test_filtered_search_identity(spark, index_dir):
+    """fq visibility filter: all three paths agree; scores equal the
+    unfiltered scores of the admitted docs (filters never score)."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    where = "doc_id % 3 = 0"
+    for q in ("the", "alpha beta"):
+        a = reader.search_wand(q, 15, where=where)
+        b = reader.search_wand_distributed(q, 15, where=where)
+        assert a == b, q
+        ex = [(r["doc_id"], r["score"])
+              for r in reader.score_exhaustive(q, 15, where=where).collect()]
+        assert [d for d, _ in ex] == [d for d, _ in a]
+        assert all(d % 3 == 0 for d, _ in a)
+        unfiltered = dict(reader.search_wand(q, 10_000))
+        for d, s in a:
+            assert unfiltered[d] == s
+    # filter + AND compose
+    c = reader.search_wand("the alpha", 15, mode="and", where=where)
+    d = reader.search_wand_distributed("the alpha", 15, mode="and", where=where)
+    assert c == d
+    assert all(x % 3 == 0 for x, _ in c)

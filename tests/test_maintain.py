@@ -153,3 +153,10 @@ def test_large_tombstone_set_broadcast_not_closure(spark, tmp_path):
     hits = reader.search_wand_distributed("needle", 50)
     assert hits == reader.search_wand("needle", 50)
     assert {d for d, _ in hits} == set(range(40))
+    # ...and through the SQL surface (worker-side pyarrow tombstone load)
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, idx, name="bm25_search_tomb")
+    sql_hits = [(r["doc_id"], r["score"]) for r in spark.sql(
+        "SELECT * FROM bm25_search_tomb('needle', 50)").orderBy("rank").collect()]
+    assert sql_hits == hits
