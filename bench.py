@@ -316,10 +316,19 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
             "SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
     if rounds is None:
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    # Optional idle gap before each child: the host throttles SUSTAINED
+    # multi-core load (burst credits) — back-to-back children leave the
+    # later, wider child running against a drained credit state, which
+    # anti-correlates the pair (observed: 2-core faster AND 8-core slower
+    # in the same round). A cooldown lets every level start from the same
+    # credit state, which is what per-level capacity comparison assumes.
+    cooldown = int(os.environ.get("SPARK_GRAFT_CHILD_COOLDOWN", "0"))
     all_rounds: list[dict] = []
     for rnd in range(rounds):
         window: dict[int, dict] = {}
         for cpus in levels:
+            if cooldown:
+                time.sleep(cooldown)
             env = dict(os.environ)
             repo = os.path.dirname(os.path.abspath(__file__))
             env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
