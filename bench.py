@@ -412,7 +412,11 @@ def run_scaling(sf_dir: str, levels=None, rounds: int | None = None) -> dict:
         hist_rounds = {}
 
     pairs = []
-    store: dict[str, list] = {}
+    store: dict[str, list] = {
+        # pairs from earlier invocations at levels not re-measured this run
+        # stay on record (same rev)
+        ":".join(k): v for k, v in hist_rounds.items()
+    }
     for i in range(len(levels) - 1):
         lo, hi = levels[i], levels[i + 1]
         rows = hist_rounds.get((str(lo), str(hi)), []) + _round_rows(lo, hi)
