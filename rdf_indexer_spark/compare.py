@@ -277,7 +277,7 @@ def mismatch_message(uri: str, new_txt: str, old_txt: str) -> str:
 
 def global_order_rank(
     df: DataFrame, key_col: str = "uri", out_col: str = "rn",
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, reliable: bool = False,
 ) -> DataFrame:
     """0-based global rank in ``key_col`` order WITHOUT a single-task sort.
 
@@ -288,18 +288,36 @@ def global_order_rank(
     over the per-partition COUNTS — a ~num_partitions-row relation, so that
     one serial window is O(partitions), not O(rows). Same offsets idea as
     docids.assign_doc_ids, but range (not hash) buckets so the rank is true
-    global key order. The ranked input is materialized once via an eager
-    ``localCheckpoint`` so the count branch and the rank branch see identical
-    range boundaries — unlike ``persist()`` (whose CacheManager entry leaks
-    until an explicit unpersist that a lazily-returned DataFrame can never
-    schedule), checkpoint blocks are dropped by the ContextCleaner as soon
-    as the RDD is unreferenced, so repeated calls don't accumulate cache."""
+    global key order.
+
+    The ranked input is materialized once so the count branch and the rank
+    branch see identical range boundaries. Two postures (ADVICE r3):
+
+    * ``reliable=False`` (default): eager ``localCheckpoint`` — blocks live
+      unreplicated on executors with lineage truncated, so this REQUIRES
+      static executors (an executor loss / dynamic-allocation decommission
+      makes the downstream branches unrecoverable instead of recomputable).
+      Unlike ``persist()`` (whose CacheManager entry leaks until an
+      unpersist a lazily-returned DataFrame can never schedule), the blocks
+      are dropped by the ContextCleaner once the RDD is unreferenced.
+    * ``reliable=True``: reliable ``checkpoint`` to the context's
+      checkpoint dir (``sc.setCheckpointDir`` must have been called, e.g.
+      an HDFS/object-store path on a cluster) — survives executor loss;
+      the right posture under dynamic allocation or long downstream DAGs.
+    """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    d = (
-        df.repartitionByRange(n, F.col(key_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    d = df.repartitionByRange(n, F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    if reliable:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "global_order_rank(reliable=True) needs "
+                "SparkContext.setCheckpointDir(...)"
+            )
+        d = d.checkpoint(eager=True)
+    else:
+        d = d.localCheckpoint(eager=True)
     w_in = Window.partitionBy("_pid").orderBy(key_col)
     counts = d.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

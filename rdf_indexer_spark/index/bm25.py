@@ -85,22 +85,33 @@ class IndexReader:
 
     # -- statistics --------------------------------------------------------
 
-    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        """ONE termstats scan for everything a query needs per term:
+        ``{"df": int, "bytes": int | None}`` (bytes = packed block payload
+        size, from build-time block metadata; None on a pre-r4 index).
+        ``search()`` fetches this once and derives idfs + the fetch-cost
+        routing estimate from it — never two scans per query."""
         if not terms:
             return {}
-        rows = (
-            self.spark.read.parquet(self.paths.termstats)
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
-        return {r["term"]: r["df"] for r in rows}
+        ts = self.spark.read.parquet(self.paths.termstats)
+        has_bytes = "bytes" in ts.columns
+        cols = ["term", "df"] + (["bytes"] if has_bytes else [])
+        rows = ts.filter(F.col("term").isin(terms)).select(*cols).collect()
+        return {
+            r["term"]: {"df": int(r["df"]),
+                        "bytes": int(r["bytes"]) if has_bytes else None}
+            for r in rows
+        }
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: s["df"] for t, s in self.term_stats(terms).items()}
+
+    def _idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
-        dfs = self.term_dfs(terms)
-        return {
-            t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-            for t, df in dfs.items()
-        }
+        return {t: self._idf(s["df"])
+                for t, s in self.term_stats(terms).items()}
 
     # -- exhaustive scorer (DataFrame plan) ---------------------------------
 
@@ -197,8 +208,15 @@ class IndexReader:
 
     def allowed_ids(self, where: str | None) -> np.ndarray | None:
         """SQL predicate over the docstore → sorted visible doc_id set (the
-        fq filter surface). Same posture as tombstones: a sorted array here,
-        a roaring-bitmap broadcast at 10^12-doc scale."""
+        fq filter surface of the DRIVER walk only).
+
+        This collects the visible ids to the driver, so it is only safe
+        where the driver walk itself is: a small index / debug path.
+        ``search()`` routes every filtered query to the distributed walk,
+        which evaluates the predicate executor-side (cogrouped per part —
+        see :meth:`search_wand_distributed`) and never materializes the
+        visible-id set on the driver, matching Solr fq semantics of
+        evaluating filters inside the index (SolrClient.java:144-163)."""
         if where is None:
             return None
         rows = (
@@ -209,10 +227,10 @@ class IndexReader:
 
     def search_wand(
         self, query: str, k: int = 10, *, mode: str = "or",
-        where: str | None = None,
+        where: str | None = None, _idfs: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
-        idfs = self.idfs(terms)
+        idfs = self.idfs(terms) if _idfs is None else _idfs
         if not idfs:
             return []
         allowed = self.allowed_ids(where)
@@ -232,7 +250,7 @@ class IndexReader:
 
     def search_wand_distributed(
         self, query: str, k: int = 10, *, mode: str = "or",
-        where: str | None = None,
+        where: str | None = None, _idfs: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Block-max WAND with the cursor walk on the executors.
 
@@ -240,22 +258,26 @@ class IndexReader:
         ranges), local exact top-k per bucket, driver k-way merge of
         ≤ parts·k rows. Rank- and score-identical to :meth:`search_wand`.
         ``mode="and"`` = conjunctive leapfrog per bucket (a bucket missing a
-        term's postings matches nothing — exact). ``where`` = fq visibility
-        filter, shipped as a broadcast like the tombstones."""
+        term's postings matches nothing — exact).
+
+        ``where`` = fq visibility filter, evaluated entirely executor-side:
+        the docstore predicate scan is COGROUPED with the block scan on
+        ``part`` (both are hive-partitioned by part, so each bucket's walker
+        receives exactly its own visible ids through the shuffle), the way
+        Solr evaluates fq inside the index (SolrClient.java:144-163).
+        Nothing about the visible-id set ever reaches the driver — for an
+        unselective predicate at 10^12-doc scale the per-part id sets stay
+        O(docs/parts) on the executors while the driver still sees only
+        parts·k result rows."""
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode: {mode!r}")
         terms = sorted(set(tokenize(query)))
-        idfs = self.idfs(terms)
+        idfs = self.idfs(terms) if _idfs is None else _idfs
         if not idfs:
             return []
         avgdl = self.avgdl
         n_required = len(terms)  # strict +required: absent term → no hits
         tomb_bc = self._tomb_bc  # Broadcast handle: O(1) in the closure
-        allowed = self.allowed_ids(where)
-        allow_bc = (
-            self.spark.sparkContext.broadcast(allowed)
-            if allowed is not None else None
-        )
         blocks = (
             self.spark.read.parquet(self.paths.blocks)
             .filter(F.col("term").isin(list(idfs)))
@@ -263,19 +285,26 @@ class IndexReader:
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
         )
 
-        def _part_topk(pdf):
+        def _walk(pdf, allow):
             import pandas as pd
 
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+            if allow is not None and len(allow) == 0:
+                return empty  # no visible docs in this part: skip the walk
             by_term: dict[str, list] = {}
             for rec in pdf.to_dict("records"):
                 by_term.setdefault(rec["term"], []).append(rec)
+            if not by_term:
+                return empty  # part has visible docs but no query postings
             for t in by_term:
                 by_term[t].sort(key=lambda r: r["first_doc_id"])
             cursors = [
                 _Cursor(t, idfs[t], by_term[t], avgdl)
                 for t in sorted(by_term)
             ]
-            allow = allow_bc.value if allow_bc is not None else None
             if mode == "and":
                 hits = _and_topk(cursors, k, n_required,
                                  deleted=tomb_bc.value, allowed=allow)
@@ -287,17 +316,39 @@ class IndexReader:
                 columns=["doc_id", "score"],
             ).astype({"doc_id": "int64", "score": "float64"})
 
-        local = blocks.groupBy("part").applyInPandas(
-            _part_topk, schema="doc_id long, score double"
-        ).collect()
+        out_schema = "doc_id long, score double"
+        if where is None:
+            local = blocks.groupBy("part").applyInPandas(
+                lambda pdf: _walk(pdf, None), schema=out_schema
+            ).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk(bl_pdf, allow)
+
+            local = (
+                blocks.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_filtered, schema=out_schema)
+                .collect()
+            )
         merged = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))[:k]
         return [(int(r["doc_id"]), float(r["score"])) for r in merged]
 
-    # Auto-select guard for search(): above this many postings across the
-    # query's terms the driver-side block fetch (fetch_blocks .collect())
-    # would pull too much to one machine — route through the executor-side
-    # walk. ~500k postings ≈ a few MB of packed blocks: past that the
-    # distributed walk's extra job overhead is already amortized.
+    # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
+    # actual cost of the driver walk is pulling the query terms' packed
+    # blocks to one machine, and byte size is what build-time block metadata
+    # measures exactly (termstats.bytes = Σ bin_bytes). Past a few MB the
+    # distributed walk's extra job overhead is already amortized and the
+    # driver stops being a bandwidth funnel.
+    DISTRIBUTED_FETCH_BYTES = 4 << 20
+    # Fallback for pre-r4 indexes whose termstats lack the bytes column:
+    # ~500k postings ≈ a few MB of packed blocks.
     DISTRIBUTED_POSTINGS_THRESHOLD = 500_000
 
     def search(
@@ -307,17 +358,36 @@ class IndexReader:
         """Default query path. ``distributed=None`` auto-selects: the
         executor-side WAND walk (search_wand_distributed — the cluster-scale
         shape, nothing bigger than parts·k rows reaches the driver) unless
-        the query's total posting volume is small enough that the driver
-        walk is a cheap fast path. Both paths are rank- and score-identical
-        (asserted in tests/test_index.py). ``mode``/``where`` as in
-        :meth:`search_wand` (conjunctive queries, fq visibility filters)."""
+        the query's estimated block-fetch volume (from build-time metadata,
+        see :meth:`term_stats`) is small enough that the driver walk is a
+        cheap fast path. Filtered queries (``where``) ALWAYS route
+        distributed: the fq predicate evaluates executor-side there, so the
+        visible-id set never funnels through the driver regardless of the
+        predicate's selectivity. Both paths are rank- and score-identical
+        (asserted in tests/test_index.py). The chosen route is recorded in
+        ``self.last_path`` ("driver" | "distributed").
+
+        ONE termstats scan serves routing AND idf computation — the stats
+        fetched here are passed down to the chosen walk."""
+        terms = sorted(set(tokenize(query)))
+        stats = self.term_stats(terms)
+        idfs = {t: self._idf(s["df"]) for t, s in stats.items()}
         if distributed is None:
-            dfs = self.term_dfs(sorted(set(tokenize(query))))
-            distributed = sum(dfs.values()) > self.DISTRIBUTED_POSTINGS_THRESHOLD
+            if where is not None:
+                distributed = True
+            elif all(s["bytes"] is not None for s in stats.values()):
+                est = sum(s["bytes"] for s in stats.values())
+                distributed = est > self.DISTRIBUTED_FETCH_BYTES
+            else:
+                distributed = (sum(s["df"] for s in stats.values())
+                               > self.DISTRIBUTED_POSTINGS_THRESHOLD)
+        self.last_path = "distributed" if distributed else "driver"
         hits = (
-            self.search_wand_distributed(query, k, mode=mode, where=where)
+            self.search_wand_distributed(query, k, mode=mode, where=where,
+                                         _idfs=idfs)
             if distributed
-            else self.search_wand(query, k, mode=mode, where=where)
+            else self.search_wand(query, k, mode=mode, where=where,
+                                  _idfs=idfs)
         )
         return self.spark.createDataFrame(
             [(int(d), float(s), r + 1) for r, (d, s) in enumerate(hits)],

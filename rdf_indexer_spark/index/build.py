@@ -50,10 +50,11 @@ from pyspark.sql import functions as F
 from ..analyzer import tokenize_col
 from .codec import BLOCK_SIZE, varbyte_parts
 from .manifest import Manifest
+from .writer import IndexWriter
 
 BLOCK_SCHEMA = (
     "part int, term string, seq int, n int, first_doc_id long, "
-    "last_doc_id long, max_tf int, dl_min int, tf_sum long, "
+    "last_doc_id long, max_tf int, dl_min int, tf_sum long, bin_bytes long, "
     "ids_bin binary, tfs_bin binary, dls_bin binary"
 )
 
@@ -131,6 +132,14 @@ def _pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
         "dl_min": np.minimum.reduceat(dls, bs).astype(np.int32),
         "tf_sum": np.add.reduceat(tfs, bs),
+        # packed payload size of the block (all three varbyte columns):
+        # query-time fetch-cost estimation reads THIS metadata column, never
+        # the binaries (termstats aggregates it per term at finalize)
+        "bin_bytes": (
+            (id_off[be] - id_off[bs])
+            + (tf_off[be] - tf_off[bs])
+            + (dl_off[be] - dl_off[bs])
+        ).astype(np.int64),
         "ids_bin": [id_buf[id_off[s]:id_off[e]].tobytes() for s, e in zip(bs, be)],
         "tfs_bin": [tf_buf[tf_off[s]:tf_off[e]].tobytes() for s, e in zip(bs, be)],
         "dls_bin": [dl_buf[dl_off[s]:dl_off[e]].tobytes() for s, e in zip(bs, be)],
@@ -174,15 +183,12 @@ def _pack_stream(batches):
         yield from emit(final, flush=True)
 
 
-def _write_parts(df: DataFrame, path: str) -> None:
+def _write_parts(df: DataFrame, path: str, writer: IndexWriter | None = None) -> None:
     """Dynamic partition overwrite by ``part`` — reruns replace only the
-    buckets present in ``df``, never committed ones."""
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part")
-        .parquet(path)
-    )
+    buckets present in ``df``, never committed ones. All index mutations
+    route through the :class:`.writer.IndexWriter` seam (Iceberg mapping
+    documented there); this wrapper exists for callers without a writer."""
+    (writer or IndexWriter()).append_partitioned(df, path)
 
 
 def build_index(
@@ -211,6 +217,7 @@ def build_index(
     I/O. Pass ``n_docs`` when known to skip the max-id scan."""
     paths = IndexPaths(index_dir)
     manifest = Manifest(paths.manifest)
+    writer = IndexWriter(manifest)
     if not resume:
         manifest.reset()
         for p in (paths.docstore, paths.postings, paths.blocks,
@@ -292,7 +299,7 @@ def build_index(
         # parallelism level (BENCH diagnostics); the pruned re-scan reads
         # only (part, dl, content_sha256) / (part, n) and is a short, fully
         # parallel job.
-        _write_parts(enriched.drop("toks"), paths.docstore)
+        writer.append_partitioned(enriched.drop("toks"), paths.docstore)
 
         # postings: map-side partial agg collapses duplicate (term, doc)
         # pairs before the shuffle; the aligned repartition then clusters
@@ -313,7 +320,7 @@ def build_index(
         # persisted as the postings table and packed from the files (read
         # back with splitting disabled so no group straddles a task).
         if write_postings:
-            _write_parts(postings, paths.postings)
+            writer.append_partitioned(postings, paths.postings)
             old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
             try:
@@ -321,17 +328,17 @@ def build_index(
                     part_col.isin(group)
                 )
                 blocks = src.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-                _write_parts(blocks, paths.blocks)
+                writer.append_partitioned(blocks, paths.blocks)
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         else:
             blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-            _write_parts(blocks, paths.blocks)
+            writer.append_partitioned(blocks, paths.blocks)
 
         doc_m, post_m = _group_metrics(spark, paths, group)
         for b in group:
             dm = doc_m.get(b, {})
-            manifest.finish(
+            writer.commit(
                 "build", _key(b),
                 rows=int(dm.get("rows") or 0),
                 tokens=int(dm.get("tokens") or 0),
@@ -350,16 +357,18 @@ def build_index(
             [(int(n), (float(tot) / n) if n else 0.0, int(tot))],
             "n_docs long, avgdl double, total_tokens long",
         )
-        stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
-        # term statistics from block metadata (df = Σ n, cf = Σ tf_sum) —
-        # no dependence on the optional postings table
+        writer.overwrite(stats, paths.stats, coalesce=1)
+        # term statistics from block metadata (df = Σ n, cf = Σ tf_sum,
+        # bytes = Σ bin_bytes) — no dependence on the optional postings
+        # table, and no binary columns read (bin_bytes is metadata)
         termstats = (
             spark.read.parquet(paths.blocks)
             .groupBy("term")
-            .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
+            .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"),
+                 F.sum("bin_bytes").alias("bytes"))
         )
-        termstats.write.mode("overwrite").parquet(paths.termstats)
-        manifest.finish("finalize", "stats")
+        writer.overwrite(termstats, paths.termstats)
+        writer.commit("finalize", "stats")
 
     return manifest.summary()
 

@@ -31,9 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_col
-from .build import (BLOCK_SCHEMA, IndexPaths, _group_metrics, _pack_stream,
-                    _write_parts)
+from .build import BLOCK_SCHEMA, IndexPaths, _group_metrics, _pack_stream
 from .manifest import Manifest
+from .writer import IndexWriter
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
@@ -45,9 +45,10 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
         ids = doc_ids.select(F.col("doc_id").cast("long"))
     else:
         ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
-    ids.write.mode("append").parquet(tomb)
+    writer = IndexWriter(Manifest(paths.manifest))
+    writer.append_rows(ids, tomb)
     n = spark.read.parquet(tomb).select("doc_id").distinct().count()
-    Manifest(paths.manifest).finish("delete", f"n={n}")
+    writer.commit("delete", f"n={n}")
     return n
 
 
@@ -79,6 +80,7 @@ def append_documents(
     (asserted in tests/test_maintain.py)."""
     paths = IndexPaths(index_dir)
     manifest = Manifest(paths.manifest)
+    writer = IndexWriter(manifest)
     old = spark.read.parquet(paths.stats).collect()[0]
     n_old, tok_old = int(old["n_docs"]), int(old["total_tokens"])
     old_parts = [
@@ -126,7 +128,7 @@ def append_documents(
     # per-bucket metrics come from a column-pruned re-scan of the freshly
     # written files instead of O(|group|) conditional aggregate buffers
     # riding the write (measured 30-40% of build wall-clock)
-    _write_parts(enriched.drop("toks"), paths.docstore)
+    writer.append_partitioned(enriched.drop("toks"), paths.docstore)
 
     postings = (
         enriched.select("part", "doc_id", "dl", F.explode("toks").alias("term"))
@@ -137,16 +139,16 @@ def append_documents(
         .sortWithinPartitions("part", "term", "doc_id")
     )
     blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-    _write_parts(blocks, paths.blocks)
+    writer.append_partitioned(blocks, paths.blocks)
 
     if os.path.exists(paths.postings):
-        _write_parts(postings, paths.postings)
+        writer.append_partitioned(postings, paths.postings)
 
     doc_m, post_m = _group_metrics(spark, paths, group)
     new_tokens = sum(int(doc_m.get(b, {}).get("tokens") or 0) for b in group)
     for b in group:
         dm = doc_m.get(b, {})
-        manifest.finish(
+        writer.commit(
             "append", f"bucket={b:05d}",
             rows=int(dm.get("rows") or 0),
             tokens=int(dm.get("tokens") or 0),
@@ -157,16 +159,21 @@ def append_documents(
     # stats combine EXACTLY (no re-scan of old text)
     n_docs = n_old + n_new
     total_tokens = tok_old + new_tokens
-    spark.createDataFrame(
-        [(n_docs, total_tokens / n_docs, total_tokens)],
-        "n_docs long, avgdl double, total_tokens long",
-    ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
-    # termstats from block metadata only (column-pruned scan; no bin bytes)
-    (
+    writer.overwrite(
+        spark.createDataFrame(
+            [(n_docs, total_tokens / n_docs, total_tokens)],
+            "n_docs long, avgdl double, total_tokens long",
+        ),
+        paths.stats, coalesce=1,
+    )
+    # termstats from block metadata only (column-pruned scan; no binary
+    # columns read — bin_bytes is a metadata long)
+    writer.overwrite(
         spark.read.parquet(paths.blocks)
         .groupBy("term")
-        .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
-        .write.mode("overwrite").parquet(paths.termstats)
+        .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"),
+             F.sum("bin_bytes").alias("bytes")),
+        paths.termstats,
     )
-    manifest.finish("finalize", f"append_stats_n={n_docs}")
+    writer.commit("finalize", f"append_stats_n={n_docs}")
     return manifest.summary()

@@ -1,15 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema, partition-preserving ``mapInPandas``
-kernels, Arrow batch shapes — is real and tested. Decode status (r2):
+kernels, Arrow batch shapes — is real and tested. Decode status (r4):
 
 * REAL, pure numpy/stdlib (no media libs needed): PPM ``P6`` images,
   uncompressed 24-bit ``BI_RGB`` BMP images, PCM-16 WAV audio — parsed
   byte-for-byte (:func:`decode_ppm` / :func:`decode_bmp` /
-  :func:`decode_wav`), plus nearest-neighbor resize + PPM re-encode.
-* STUBBED, clearly marked: every other codec (JPEG/PNG/MP3/video frames)
-  falls back to :func:`_decode_stub`, deterministic in the payload bytes,
-  swappable for PIL/ffmpeg kernels on a real cluster.
+  :func:`decode_wav`), plus nearest-neighbor resize + PPM re-encode —
+  and, since r4, baseline sequential JPEG (Huffman entropy decode +
+  dequant + vectorized IDCT, 4:4:4/4:2:2/4:2:0 — :mod:`.jpeg`).
+* STUBBED, clearly marked: the rest (progressive JPEG, PNG, MP3, video
+  frames) falls back to :func:`_decode_stub`, deterministic in the
+  payload bytes, swappable for PIL/ffmpeg kernels on a real cluster.
 
 Layout convention (matches common lakehouse practice):
     media(doc_id long, kind string, payload binary,
@@ -148,10 +150,14 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
                 return decode_ppm(payload).astype(np.float32) / 255.0
             if payload.startswith(b"BM"):
                 return decode_bmp(payload).astype(np.float32) / 255.0
+            if payload.startswith(b"\xff\xd8"):
+                from .jpeg import decode_jpeg  # pure numpy, r4
+
+                return decode_jpeg(payload).astype(np.float32) / 255.0
         if kind == "audio" and payload.startswith(b"RIFF"):
             samples, _ = decode_wav(payload)
             return samples.reshape(-1)
-    except ValueError:
+    except (ValueError, IndexError):
         pass
     return _decode_stub(payload, kind)
 

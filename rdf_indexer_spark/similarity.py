@@ -209,6 +209,28 @@ def lsh_topk_batch(
     )
 
 
+def _mean_recall(got: DataFrame, want: DataFrame):
+    """Mean per-query recall of ``got`` vs the exact ``want`` top-k.
+
+    LEFT join from the want side (ADVICE r3): the exact oracle populates
+    every query, but an ANN index whose probed cells yield ZERO candidates
+    drops the query from ``got`` entirely — an inner join would silently
+    exclude it from the average, biasing recall upward exactly when the
+    index performs worst. Missing queries count as recall 0."""
+    g = got.groupBy("query_id").agg(F.collect_set("vec_id").alias("got"))
+    wnt = want.groupBy("query_id").agg(F.collect_set("vec_id").alias("want"))
+    # explicit isNull guard (not coalesce over size(): size(NULL) is -1
+    # under spark.sql.legacy.sizeOfNull, which would make missing queries
+    # SUBTRACT from the average instead of counting 0)
+    hit = F.when(
+        F.col("got").isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect("got", "want")))
+    per_q = wnt.join(g, "query_id", "left").select(
+        (hit / F.size("want")).alias("r")
+    )
+    return per_q.agg(F.avg("r")).collect()[0][0]
+
+
 def lsh_recall_at_k(
     df: DataFrame, n_queries: int = 50, k: int = 10,
     n_tables: int = 4, n_bits: int = 12,
@@ -235,12 +257,7 @@ def lsh_recall_at_k(
                     id_col=id_col, vec_col=vec_col)
     got = lsh_topk_batch(idx, queries, dim, k, n_tables, n_bits)
     want = cosine_topk_batch(df, queries_df, k, id_col, vec_col)
-    g = got.groupBy("query_id").agg(F.collect_set("vec_id").alias("got"))
-    wnt = want.groupBy("query_id").agg(F.collect_set("vec_id").alias("want"))
-    per_q = g.join(wnt, "query_id").select(
-        (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
-    )
-    avg = per_q.agg(F.avg("r")).collect()[0][0]
+    avg = _mean_recall(got, want)
     return float(avg) if avg is not None else 0.0
 
 
@@ -418,12 +435,7 @@ def ivf_recall_at_k(
     )
     got = ivf_topk_batch(index_df, centroids, queries, k, nprobe)
     want = cosine_topk_batch(df, queries_df, k, id_col, vec_col)
-    g = got.groupBy("query_id").agg(F.collect_set("vec_id").alias("got"))
-    wnt = want.groupBy("query_id").agg(F.collect_set("vec_id").alias("want"))
-    per_q = g.join(wnt, "query_id").select(
-        (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
-    )
-    avg = per_q.agg(F.avg("r")).collect()[0][0]
+    avg = _mean_recall(got, want)
     return {
         "recall": round(float(avg), 4) if avg is not None else 0.0,
         "probed_fraction": round(probed_fraction, 4),

@@ -88,12 +88,13 @@ def test_pack_batch_bit_identical_to_per_group_pack():
             ib, tb, db = pack_block(bi, bt, bd)
             want_rows.append((part, term, seq, len(bi), int(bi[0]),
                               int(bi[-1]), int(bt.max()), int(bd.min()),
-                              int(bt.sum()), ib, tb, db))
+                              int(bt.sum()), len(ib) + len(tb) + len(db),
+                              ib, tb, db))
     want = pd.DataFrame(want_rows, columns=list(got.columns))
     want = want.sort_values(["part", "term", "seq"]).reset_index(drop=True)
     assert len(got) == len(want)
     for c in ["part", "term", "seq", "n", "first_doc_id", "last_doc_id",
-              "max_tf", "dl_min", "tf_sum"]:
+              "max_tf", "dl_min", "tf_sum", "bin_bytes"]:
         assert (got[c].values == want[c].values).all(), c
     for c in ["ids_bin", "tfs_bin", "dls_bin"]:
         assert all(bytes(a) == bytes(b) for a, b in zip(got[c], want[c])), c

@@ -158,3 +158,22 @@ def test_global_order_rank_matches_global_window(spark):
     assert "sortmergejoin" not in plan  # offsets join is a broadcast
     # no fresh global range-sort of the wide relation after the checkpoint
     assert "rangepartitioning" not in plan
+
+
+def test_global_order_rank_reliable_checkpoint(spark, tmp_path):
+    """ADVICE r3: the localCheckpoint default requires static executors;
+    reliable=True uses a real checkpoint dir and survives executor loss.
+    Ranks must be identical on both postures."""
+    import pytest as _pytest
+
+    from rdf_indexer_spark.compare import global_order_rank
+
+    df = spark.createDataFrame([(f"u{i:03d}",) for i in range(57)], ["uri"])
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with _pytest.raises(ValueError):
+            global_order_rank(df, "uri", "rn", reliable=True).count()
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    out = global_order_rank(df, "uri", "rn", reliable=True)
+    got = {r["uri"]: r["rn"] for r in out.collect()}
+    assert got == {f"u{i:03d}": i for i in range(57)}

@@ -326,3 +326,121 @@ def test_filtered_search_identity(spark, index_dir):
     d = reader.search_wand_distributed("the alpha", 15, mode="and", where=where)
     assert c == d
     assert all(x % 3 == 0 for x, _ in c)
+
+
+def test_filtered_distributed_never_materializes_ids_on_driver(spark, index_dir):
+    """The r4 fq contract (VERDICT r3 item 2): the distributed walk's
+    visibility filter is evaluated executor-side (docstore predicate scan
+    cogrouped with the block scan on part) — the visible-id set must NEVER
+    be collected to / broadcast from the driver, whatever the predicate's
+    selectivity. ``allowed_ids`` (the driver-walk helper that does collect)
+    is booby-trapped; the filtered distributed search must not touch it."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    where = "doc_id % 3 = 0"
+    expected = reader.search_wand("the alpha", 15, where=where)
+
+    def _boom(where):
+        if where is None:  # the no-filter no-op is not a collect
+            return None
+        raise AssertionError(
+            "allowed_ids() collected the visible-id set on the driver"
+        )
+
+    reader.allowed_ids = _boom
+    got = reader.search_wand_distributed("the alpha", 15, where=where)
+    assert got == expected
+    # the default path routes filtered queries distributed, so search()
+    # with a where-filter also never driver-materializes the set
+    got_df = reader.search("the alpha", 15, where=where)
+    assert reader.last_path == "distributed"
+    assert [(r["doc_id"], r["score"]) for r in got_df.collect()] == expected
+    # unselective predicate (visible set ≈ whole corpus): still fine
+    assert reader.search_wand_distributed("alpha", 5, where="doc_id >= 0") \
+        == reader.search_wand("alpha", 5)
+
+
+def test_search_autoselect_byte_threshold(spark, tmp_path):
+    """search() routes by estimated fetch BYTES from build-time block
+    metadata (termstats.bytes = Σ bin_bytes), not a posting-count constant:
+    a long-posting (hot) term whose packed blocks exceed the threshold goes
+    to the distributed walk, a rare term stays on the driver fast path."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    # hot term in EVERY doc (long posting list), needle in one
+    rows = [(i, "hot " * 8 + (f"w{i % 37} " * 10) + ("needle" if i == 3 else ""))
+            for i in range(600)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, num_buckets=3, resume=False)
+
+    # build-time metadata is exact: termstats.bytes == Σ blocks.bin_bytes
+    # == Σ actual binary payload lengths
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+    meas = (
+        blocks.groupBy("term")
+        .agg(
+            F.sum("bin_bytes").alias("meta"),
+            F.sum(
+                F.length("ids_bin") + F.length("tfs_bin") + F.length("dls_bin")
+            ).alias("actual"),
+        )
+    )
+    assert meas.filter(F.col("meta") != F.col("actual")).count() == 0
+    ts = {
+        r["term"]: r["bytes"]
+        for r in spark.read.parquet(os.path.join(out, "termstats")).collect()
+    }
+    assert ts["hot"] > ts["needle"]
+
+    reader = IndexReader(spark, out)
+    # threshold between the two terms' packed sizes → routing splits
+    reader.DISTRIBUTED_FETCH_BYTES = (ts["hot"] + ts["needle"]) // 2
+    reader.search("hot", 5)
+    assert reader.last_path == "distributed"
+    reader.search("needle", 5)
+    assert reader.last_path == "driver"
+    # both routes rank- and score-identical
+    a = [(r["doc_id"], r["score"]) for r in reader.search("hot", 5, distributed=True).collect()]
+    b = [(r["doc_id"], r["score"]) for r in reader.search("hot", 5, distributed=False).collect()]
+    assert a == b
+
+
+def test_search_single_termstats_scan(spark, index_dir):
+    """ADVICE r3: auto-select used to scan termstats once for routing and
+    once more for idfs. search() now fetches term stats exactly once and
+    passes the derived idfs down to the chosen walk."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    calls = {"n": 0}
+    orig = reader.term_stats
+
+    def counting(terms):
+        calls["n"] += 1
+        return orig(terms)
+
+    reader.term_stats = counting
+    reader.search("the alpha", 10)
+    assert calls["n"] == 1
+    calls["n"] = 0
+    reader.search("needle", 10)
+    assert calls["n"] == 1
+
+
+def test_manifest_records_snapshot_ids(spark, index_dir):
+    """VERDICT r3 item 6: every index mutation commits through the
+    IndexWriter seam, and each manifest row records the snapshot id the
+    commit staged (the Iceberg snapshot-id slot — see index/writer.py)."""
+    from rdf_indexer_spark.index.manifest import Manifest
+
+    recs = Manifest(os.path.join(index_dir, "manifest")).records()
+    assert recs, "build produced no manifest rows"
+    assert all(r.get("snapshot_id") for r in recs)
+    # one snapshot per commit, never reused
+    snaps = [r["snapshot_id"] for r in recs]
+    assert len(set(snaps)) == len(snaps)

@@ -186,3 +186,41 @@ def test_resize_images_real_payload(spark):
     assert row["meta"]["codec"] == "ppm"
     out = decode_ppm(bytes(row["payload"]))
     assert (out == img[::2][:, ::2]).all()
+
+
+def test_truncated_payloads_fall_back_to_stub_not_task_failure(spark):
+    """VERDICT r3 item 4 regression: a truncated/malformed P6/BM/RIFF
+    payload raised out of the decoder in r2 and killed the whole
+    mapInPandas task; now it must fall back to the deterministic stub,
+    exactly like an unknown codec (multimodal.decode_media)."""
+    import numpy as np
+
+    from rdf_indexer_spark.multimodal import (MEDIA_SCHEMA, _decode_stub,
+                                              decode_media, extract_features)
+
+    trunc_ppm = b"P6\n4 4\n255\n" + b"\x01" * 5   # header promises 48 bytes
+    trunc_bmp = b"BM" + b"\x00" * 20              # header cut short
+    trunc_wav = b"RIFF\x10\x00\x00\x00WAVE"       # RIFF with no fmt/data
+    cases = [(trunc_ppm, "image"), (trunc_bmp, "image"), (trunc_wav, "audio")]
+    for payload, kind in cases:
+        arr = decode_media(payload, kind)
+        np.testing.assert_array_equal(arr, _decode_stub(payload, kind))
+
+    # through the Spark kernel: bad rows must not fail the task, and good
+    # rows in the same batch still decode for real
+    from rdf_indexer_spark.multimodal import encode_ppm
+
+    good = encode_ppm(np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(trunc_ppm), None),
+         (2, "image", bytearray(trunc_bmp), None),
+         (3, "audio", bytearray(trunc_wav), None),
+         (4, "image", bytearray(good), None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(rows[i]["feat_dim"] > 0 for i in rows)
+    # the intact payload really decoded (first 32 normalized pixels)
+    want = (np.arange(4 * 4 * 3, dtype=np.float32) / 255.0)[:32]
+    np.testing.assert_allclose(list(rows[4]["feature"]), want, rtol=1e-6)

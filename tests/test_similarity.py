@@ -138,3 +138,23 @@ def test_ivf_deterministic(spark, vecs):
     a = sorted(tuple(r) for r in ivf_index(df, c1).select("cell", "vec_id").collect())
     b = sorted(tuple(r) for r in ivf_index(df.repartition(5), c1).select("cell", "vec_id").collect())
     assert a == b
+
+
+def test_mean_recall_counts_missing_queries_as_zero(spark):
+    """ADVICE r3: a query whose ANN candidates are empty must drag the
+    average DOWN (recall 0), not vanish from it via an inner join."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rdf_indexer_spark.similarity import _mean_recall
+
+    want = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "query_id int, vec_id long"
+    )
+    # query 1 produced NO candidates at all
+    got = spark.createDataFrame([(0, 1), (0, 2)], "query_id int, vec_id long")
+    assert abs(float(_mean_recall(got, want)) - 0.5) < 1e-9
+    # and a partially-hit query still averages fractionally
+    got2 = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3)], "query_id int, vec_id long"
+    )
+    assert abs(float(_mean_recall(got2, want)) - 0.75) < 1e-9

@@ -83,3 +83,59 @@ def test_sessionize_batch_is_partitioned(spark):
     )
     plan = sessionize_batch(df)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_out_of_order_in_gap_event_extends_session_start(spark, tmp_path):
+    """VERDICT r3 item 4 regression: an in-gap late event OLDER than the
+    open session's start (above watermark) must extend the session start
+    downward (sessions.py _session_fn), keeping streaming ≡ batch on
+    out-of-order input. In r2 the start stayed put and the emitted session
+    began at the wrong timestamp."""
+    from rdf_indexer_spark.streaming import sessionize_batch, sessionize_events
+
+    schema = "ts timestamp, user_id long, value double"
+    batches = [
+        [(_ts(10, 0), 1, 1.0)],
+        # late but in-gap (5 min ≤ 10) and above watermark (9:50)
+        [(_ts(9, 55), 1, 2.0)],
+        # 60-min jump closes the session in-batch
+        [(_ts(11, 0), 1, 4.0)],
+    ]
+    stream_dir = str(tmp_path / "ooo_stream")
+    os.makedirs(stream_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"ob{i}")
+        )
+        src = [f for f in os.listdir(str(tmp_path / f"ob{i}"))
+               if f.endswith(".parquet")][0]
+        os.rename(os.path.join(str(tmp_path / f"ob{i}"), src),
+                  os.path.join(stream_dir, f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        sessionize_events(stream, gap_minutes=10)
+        .writeStream.format("memory").queryName("ooo_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["user_id"], r["session_start"].replace(tzinfo=UTC),
+         r["session_end"].replace(tzinfo=UTC), r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from ooo_sessions").collect()
+    ]
+    # ONE closed session, starting at the LATE event's 9:55
+    assert got == [(1, _ts(9, 55), _ts(10, 0), 2, 3.0)]
+
+    # batch twin agrees (plus the trailing open session)
+    all_df = spark.createDataFrame(sum(batches, []), schema)
+    bt = sorted(
+        (r["user_id"], r["session_start"].replace(tzinfo=UTC),
+         r["session_end"].replace(tzinfo=UTC), r["n_events"], r["sum_value"])
+        for r in sessionize_batch(all_df, gap_minutes=10).collect()
+    )
+    assert bt == [got[0], (1, _ts(11, 0), _ts(11, 0), 1, 4.0)]
