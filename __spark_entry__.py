@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sql_surface": Q.q_bm25_sql_surface,
         "bm25_topk_and": Q.q_bm25_topk_and,
         "bm25_topk_filtered": Q.q_bm25_topk_filtered,
+        "bm25_batch": Q.q_bm25_batch,
         # training-data pipeline operators
         "exact_dedup": Q.q_exact_dedup,
         "quality": Q.q_quality,
@@ -128,6 +129,43 @@ def oracle_sql() -> dict[str, str]:
     """
     # conjunctive variant: doc must match EVERY query term that exists in
     # the corpus (HAVING matched = |df|), same per-term scoring
+    def _bm25_one(qid: str, terms_values: str) -> str:
+        # one query's from-scratch BM25 top-10 tagged with its query_id —
+        # the per-query oracle for the batch (search_many) surface
+        return f"""
+        SELECT '{qid}' AS query_id, doc_id, score FROM (
+          WITH q(term) AS (VALUES {terms_values}),
+          tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+          dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+          tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+            WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+          ),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+          df AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+          ),
+          scores AS (
+            SELECT tf.doc_id,
+                   sum(
+                     ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                     tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                   ) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+          )
+          SELECT doc_id, round(score, 4) AS score FROM scores
+          ORDER BY score DESC, doc_id ASC LIMIT 10
+        )"""
+
+    bm25_batch_sql = (
+        _bm25_one("q1", bm25_terms) + " UNION ALL " + _bm25_one("q2", post_terms)
+    )
+
     bm25_and_sql = f"""
         WITH q(term) AS (VALUES ('table'), ('query'), ('filter')),
         tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
@@ -367,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sql_surface": bm25_topk_sql,
         "bm25_topk_and": bm25_and_sql,
         "bm25_topk_filtered": bm25_filtered_sql,
+        "bm25_batch": bm25_batch_sql,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    count(*)::BIGINT AS dup_count,

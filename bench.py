@@ -137,6 +137,10 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             q = WAND_QUERIES[name]
             dt, _ = _tmin(lambda q=q: reader.search_wand(q, 10))
             timings[f"wand_driver_{name}"] = round(dt, 3)
+        # the batch QPS surface: ALL five queries in ONE distributed job —
+        # compare against Σ wand_q_* to see the per-job overhead amortize
+        dt, _ = _tmin(lambda: reader.search_many(WAND_QUERIES, 10).collect())
+        timings["wand_batch5"] = round(dt, 3)
         dt, _ = _tmin(lambda: reader.score_exhaustive("window shuffle join", 10).collect())
         timings["bm25_exhaustive"] = round(dt, 3)
 

@@ -340,6 +340,122 @@ class IndexReader:
         merged = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))[:k]
         return [(int(r["doc_id"]), float(r["score"])) for r in merged]
 
+    def search_many(
+        self, queries: dict[str, str], k: int = 10, *, mode: str = "or",
+        where: str | None = None,
+    ) -> DataFrame:
+        """Batch top-k for MANY queries in ONE distributed job — the QPS
+        surface for query-set workloads (the reference replays whole query
+        sets against Solr; serving a set one job per query pays Spark's
+        per-job latency |Q| times).
+
+        ``queries`` maps query_id → query string. One termstats scan fetches
+        df for the UNION of all terms; one block scan (pruned to that
+        union) feeds the per-part walker, which runs the same exact
+        WAND/AND cursor walk once per query over the part's shared block
+        rows and emits each query's local top-k. The driver merges
+        ≤ parts·k·|Q| tiny rows. ``where`` uses the same cogrouped
+        executor-side fq evaluation as :meth:`search_wand_distributed`.
+
+        Returns (query_id, doc_id, score, rank) — per query rank- and
+        score-identical to :meth:`search_wand` (asserted in tests)."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        q_terms = {qid: sorted(set(tokenize(q))) for qid, q in queries.items()}
+        all_terms = sorted({t for ts in q_terms.values() for t in ts})
+        idfs = {t: self._idf(s["df"])
+                for t, s in self.term_stats(all_terms).items()}
+        live_terms = [t for t in all_terms if t in idfs]
+        if not live_terms:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double, rank int")
+        avgdl = self.avgdl
+        tomb_bc = self._tomb_bc
+        n_required = {qid: len(ts) for qid, ts in q_terms.items()}
+        blocks = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(live_terms))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+        )
+
+        def _walk_many(pdf, allow):
+            import pandas as pd
+
+            empty = pd.DataFrame({
+                "query_id": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            })
+            if allow is not None and len(allow) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            if not by_term:
+                return empty
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            out_q, out_d, out_s = [], [], []
+            for qid, ts in q_terms.items():
+                # fresh cursors per query (positions are per-walk state;
+                # the underlying block rows are shared, decode is lazy)
+                cursors = [
+                    _Cursor(t, idfs[t], by_term[t], avgdl)
+                    for t in ts if t in by_term
+                ]
+                if not cursors:
+                    continue
+                if mode == "and":
+                    hits = _and_topk(cursors, k, n_required[qid],
+                                     deleted=tomb_bc.value, allowed=allow)
+                else:
+                    hits = _wand_topk(cursors, k, deleted=tomb_bc.value,
+                                      allowed=allow)
+                for d, s in hits:
+                    out_q.append(qid)
+                    out_d.append(d)
+                    out_s.append(s)
+            return pd.DataFrame(
+                {"query_id": out_q, "doc_id": out_d, "score": out_s},
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        out_schema = "query_id string, doc_id long, score double"
+        if where is None:
+            local = blocks.groupBy("part").applyInPandas(
+                lambda pdf: _walk_many(pdf, None), schema=out_schema
+            ).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_many_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk_many(bl_pdf, allow)
+
+            local = (
+                blocks.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_many_filtered, schema=out_schema)
+                .collect()
+            )
+        rows = []
+        by_q: dict[str, list] = {}
+        for r in local:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in sorted(by_q):
+            merged = sorted(
+                by_q[qid], key=lambda r: (-r["score"], r["doc_id"])
+            )[:k]
+            rows.extend(
+                (qid, int(r["doc_id"]), float(r["score"]), rank + 1)
+                for rank, r in enumerate(merged)
+            )
+        return self.spark.createDataFrame(
+            rows, "query_id string, doc_id long, score double, rank int")
+
     # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
     # actual cost of the driver walk is pulling the query terms' packed
     # blocks to one machine, and byte size is what build-time block metadata

@@ -600,3 +600,22 @@ def q_rdf_errors(spark, sf):
     files_df = spark.createDataFrame(rows, ["file", "content"])
     _, errors, _ = assemble_documents(parse_files_df(files_df))
     return errors
+
+
+def q_bm25_batch(spark, sf):
+    """Batch query serving (r4, the QPS surface): TWO queries answered by
+    ONE distributed job — ``IndexReader.search_many`` shares a single
+    termstats scan and a single term-pruned block scan across the whole
+    query set, the per-part walker runs each query's exact block-max WAND
+    walk over the part's shared block rows, and the driver merges
+    ≤ parts·k·|Q| rows. Per query rank/score-identical to search_wand
+    (test_index); oracle: per-query from-scratch SQL BM25, UNION ALL."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    out = reader.search_many(
+        {"q1": " ".join(BM25_QUERY_TERMS), "q2": "data spark query"}, 10
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )

@@ -444,3 +444,45 @@ def test_manifest_records_snapshot_ids(spark, index_dir):
     # one snapshot per commit, never reused
     snaps = [r["snapshot_id"] for r in recs]
     assert len(set(snaps)) == len(snaps)
+
+
+def test_search_many_batch_identity(spark, index_dir):
+    """search_many runs a whole query set in ONE distributed job; per query
+    it must be rank- and score-identical (bit-exact) to the single-query
+    walks, across OR / AND / fq-filtered modes, with zero-hit and
+    absent-term queries in the same batch."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    qs = {
+        "rare": "needle",
+        "hot": "the",
+        "mixed": "needle the",
+        "multi": "alpha beta gamma",
+        "none": "zzznothing",
+    }
+    got = reader.search_many(qs, 10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = reader.search_wand(q, 10)
+        have = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        assert have == want, qid
+    assert "none" not in by_q
+
+    # AND mode: identical to the single-query conjunctive walk; a query
+    # containing an absent term matches nothing
+    got_and = reader.search_many(
+        {"a": "the alpha", "b": "the zzznotaword"}, 10, mode="and")
+    rows = [(r["doc_id"], r["score"]) for r in
+            got_and.filter("query_id = 'a'").orderBy("rank").collect()]
+    assert rows == reader.search_wand("the alpha", 10, mode="and")
+    assert got_and.filter("query_id = 'b'").count() == 0
+
+    # fq filter: cogrouped executor-side, same as the single-query path
+    where = "doc_id % 3 = 0"
+    got_fq = reader.search_many({"x": "the alpha"}, 15, where=where)
+    rows = [(r["doc_id"], r["score"]) for r in got_fq.orderBy("rank").collect()]
+    assert rows == reader.search_wand("the alpha", 15, where=where)
