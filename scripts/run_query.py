@@ -17,7 +17,9 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index-dir", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", action="append", required=True,
+                    help="repeatable; 2+ queries are served as ONE batch "
+                         "job (IndexReader.search_many)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--distributed", action=argparse.BooleanOptionalAction,
                     default=None,
@@ -40,18 +42,29 @@ def main(argv: list[str] | None = None) -> int:
     from rdf_indexer_spark.index.bm25 import IndexReader
 
     reader = IndexReader(spark, args.index_dir)
+    if len(args.query) > 1:
+        # query-set mode: the whole set in ONE distributed job
+        out = reader.search_many(
+            {q: q for q in args.query}, args.k
+        ).collect()
+        by_q: dict[str, list] = {q: [] for q in args.query}
+        for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+            by_q[r["query_id"]].append([int(r["doc_id"]), float(r["score"])])
+        print(json.dumps({"queries": args.query, "k": args.k, "hits": by_q}))
+        return 0
+    query = args.query[0]
     if args.exhaustive:
         hits = [(r["doc_id"], r["score"])
-                for r in reader.score_exhaustive(args.query, args.k).collect()]
+                for r in reader.score_exhaustive(query, args.k).collect()]
     else:
         # the engine's default path: auto-selects the executor-side walk
-        # unless the query's posting volume makes the driver walk a cheap
+        # unless the query's fetch volume makes the driver walk a cheap
         # small-index fast path (bm25.IndexReader.search)
         hits = [(r["doc_id"], r["score"])
-                for r in reader.search(args.query, args.k,
+                for r in reader.search(query, args.k,
                                        distributed=args.distributed).collect()]
     print(json.dumps({
-        "query": args.query,
+        "query": query,
         "k": args.k,
         "hits": [[int(d), float(s)] for d, s in hits],
     }))
