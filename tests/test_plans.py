@@ -134,3 +134,46 @@ def test_kmeans_sample_has_no_global_sort(spark):
     assert "takeordered" not in plan
     assert "sortexec" not in plan and "rangepartitioning" not in plan
     assert "filter" in plan
+
+
+def test_cogrouped_fq_plan_pushes_both_scans(spark, tmp_path):
+    """The r4 executor-side fq path: in the cogrouped plan BOTH parquet
+    scans must keep their pushed filters (term-IN on the blocks scan, the
+    fq predicate on the docstore scan, column-pruned to (doc_id, part)),
+    and the visible-id side must reach the walker through the shuffle —
+    no BroadcastExchange, no CollectLimit, nothing driver-side."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 50}") for i in range(200)], ["doc_id", "text"])
+    idx = str(tmp_path / "fqplan")
+    build_index(spark, docs, idx, num_buckets=3, resume=False)
+    r = IndexReader(spark, idx)
+    idfs = r.idfs(["alpha", "w1"])
+    blocks = (
+        spark.read.parquet(r.paths.blocks)
+        .filter(F.col("term").isin(list(idfs)))
+        .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+    )
+    visible = (spark.read.parquet(r.paths.docstore)
+               .filter("doc_id % 3 = 0").select("part", "doc_id"))
+    cog = blocks.groupBy("part").cogroup(visible.groupBy("part")).applyInPandas(
+        lambda a, b: a[["first_doc_id"]]
+        .rename(columns={"first_doc_id": "doc_id"}).assign(score=0.0),
+        schema="doc_id long, score double",
+    )
+    plan = _plan(cog)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2
+    block_scan = next(ln for ln in scans if "ids_bin" in ln)
+    doc_scan = next(ln for ln in scans if "ids_bin" not in ln)
+    assert "term" in block_scan
+    # fq predicate evaluated at the docstore scan, pruned to 2 data columns
+    assert "% 3" in doc_scan and "doc_id" in doc_scan
+    assert "content_sha256" not in doc_scan and "dl" not in doc_scan.split("[")[1].split("]")[0]
+    assert "BroadcastExchange" not in plan
+    assert "CollectLimit" not in plan
