@@ -54,17 +54,22 @@ def _load_reader_state(index_dir: str) -> dict:
     }
 
 
-def _search_local(index_dir: str, query: str, k: int) -> list[tuple[int, float]]:
+def _search_local(index_dir: str, query: str, k: int,
+                  mode: str = "or") -> list[tuple[int, float]]:
     """The full WAND walk against the on-disk index, no Spark involved.
 
     Reuses the exact cursor/walk implementation of the driver path
-    (bm25._Cursor / bm25._wand_topk) over pyarrow-fetched blocks."""
+    (bm25._Cursor / bm25._wand_topk / bm25._and_topk) over pyarrow-fetched
+    blocks. ``mode="and"`` = strict Lucene +required (every query term
+    required; a term absent from the index matches nothing)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from ..analyzer import tokenize
-    from .bm25 import _Cursor, _wand_topk
+    from .bm25 import _Cursor, _and_topk, _wand_topk
 
+    if mode not in ("or", "and"):
+        raise ValueError(f"unknown mode: {mode!r}")
     state = _load_reader_state(index_dir)
     terms = sorted(set(tokenize(query)))
     if not terms:
@@ -96,20 +101,25 @@ def _search_local(index_dir: str, query: str, k: int) -> list[tuple[int, float]]
         _Cursor(t, idfs[t], by_term[t], state["avgdl"])
         for t in sorted(idfs) if t in by_term
     ]
+    if mode == "and":
+        # n_required = EVERY query term (same contract as search_wand)
+        return _and_topk(cursors, k, len(terms), deleted=state["tombstones"])
     return _wand_topk(cursors, k, deleted=state["tombstones"])
 
 
 def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
-    """Register ``name(query, k)`` as a SQL table function for ``index_dir``.
+    """Register ``name(query, k[, mode])`` as a SQL table function for
+    ``index_dir`` — mode 'or' (default) or 'and' (strict +required, the
+    Solr ``+term`` surface in SQL).
 
     Returns the registered UDTF handle. The index path is bound at
-    registration time (SQL callers pass only the query string and k)."""
+    registration time (SQL callers pass only query/k/mode)."""
     from pyspark.sql.functions import udtf
 
     class BM25Search:
-        def eval(self, query: str, k: int):
+        def eval(self, query: str, k: int, mode: str = "or"):
             for rank, (doc, score) in enumerate(
-                _search_local(index_dir, query, int(k))
+                _search_local(index_dir, query, int(k), mode)
             ):
                 yield int(doc), float(score), rank + 1
 

@@ -275,6 +275,14 @@ def test_sql_surface_identity(spark, index_dir):
     # zero-hit and empty queries yield empty tables, not errors
     assert spark.sql("SELECT * FROM bm25_search('zzznotaword', 5)").count() == 0
     assert spark.sql("SELECT * FROM bm25_search('', 5)").count() == 0
+    # conjunctive mode (r4): third arg 'and' == the Python AND walk; an
+    # absent required term matches nothing
+    got = [(r["doc_id"], r["score"]) for r in spark.sql(
+        "SELECT * FROM bm25_search('the alpha', 15, 'and')"
+    ).orderBy("rank").collect()]
+    assert got == reader.search_wand("the alpha", 15, mode="and")
+    assert spark.sql(
+        "SELECT * FROM bm25_search('the zzznotaword', 5, 'and')").count() == 0
 
 
 def test_and_mode_identity_and_semantics(spark, index_dir):
