@@ -206,7 +206,12 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
-        "metric": "index_build+query_suite_wallclock",
+        # r4 changed `value` from single-rep wall-clock to Σ per-stage
+        # min-of-2; the metric NAME changes with it so cross-round
+        # comparisons never mix the two definitions (pre-r4 history keeps
+        # "index_build+query_suite_wallclock"; `wall_total` remains the raw
+        # two-rep wall-clock)
+        "metric": "suite_stage_min_sum",
         "value": total,
         "unit": "sec",
         "timing": "per-stage min of 2 back-to-back runs (drift-bounded)",

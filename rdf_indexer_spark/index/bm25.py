@@ -97,9 +97,15 @@ class IndexReader:
         has_bytes = "bytes" in ts.columns
         cols = ["term", "df"] + (["bytes"] if has_bytes else [])
         rows = ts.filter(F.col("term").isin(terms)).select(*cols).collect()
+        # Per-row nullability: after append_documents runs current code on a
+        # pre-r4 index, recomputed termstats (F.sum over blocks where old
+        # files lack bin_bytes) yields NULL bytes for terms living only in
+        # old blocks — search() handles bytes=None via the postings-count
+        # routing fallback, so surface None instead of crashing on int(None).
         return {
             r["term"]: {"df": int(r["df"]),
-                        "bytes": int(r["bytes"]) if has_bytes else None}
+                        "bytes": int(r["bytes"])
+                        if has_bytes and r["bytes"] is not None else None}
             for r in rows
         }
 
@@ -353,9 +359,11 @@ class IndexReader:
         df for the UNION of all terms; one block scan (pruned to that
         union) feeds the per-part walker, which runs the same exact
         WAND/AND cursor walk once per query over the part's shared block
-        rows and emits each query's local top-k. The driver merges
-        ≤ parts·k·|Q| tiny rows. ``where`` uses the same cogrouped
-        executor-side fq evaluation as :meth:`search_wand_distributed`.
+        rows and emits each query's local top-k. The global merge is a
+        window-rank DataFrame job over those ≤ parts·k·|Q| rows — nothing
+        funnels through the driver, so a 100k-query offline replay scales
+        with the cluster. ``where`` uses the same cogrouped executor-side
+        fq evaluation as :meth:`search_wand_distributed`.
 
         Returns (query_id, doc_id, score, rank) — per query rank- and
         score-identical to :meth:`search_wand` (asserted in tests)."""
@@ -424,7 +432,7 @@ class IndexReader:
         if where is None:
             local = blocks.groupBy("part").applyInPandas(
                 lambda pdf: _walk_many(pdf, None), schema=out_schema
-            ).collect()
+            )
         else:
             visible = (
                 self.spark.read.parquet(self.paths.docstore)
@@ -439,22 +447,22 @@ class IndexReader:
                 blocks.groupBy("part")
                 .cogroup(visible.groupBy("part"))
                 .applyInPandas(_walk_many_filtered, schema=out_schema)
-                .collect()
             )
-        rows = []
-        by_q: dict[str, list] = {}
-        for r in local:
-            by_q.setdefault(r["query_id"], []).append(r)
-        for qid in sorted(by_q):
-            merged = sorted(
-                by_q[qid], key=lambda r: (-r["score"], r["doc_id"])
-            )[:k]
-            rows.extend(
-                (qid, int(r["doc_id"]), float(r["score"]), rank + 1)
-                for rank, r in enumerate(merged)
-            )
-        return self.spark.createDataFrame(
-            rows, "query_id string, doc_id long, score double, rank int")
+        # The global per-query merge is a DataFrame job, NOT a driver
+        # collect: a 100k-query offline replay at 64 parts × k=10 would
+        # otherwise funnel 64M rows through one driver. Parts hold disjoint
+        # doc-id ranges so every (query_id, doc_id) pair appears at most
+        # once — row_number over (score desc, doc_id asc) is exactly the
+        # k-way merge the driver used to do, and the tiny shuffle moves
+        # only ≤ parts·k rows per query.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
 
     # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
     # actual cost of the driver walk is pulling the query terms' packed

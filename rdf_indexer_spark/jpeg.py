@@ -69,7 +69,10 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 2  # unstuff: 0xFF00 is a 0xFF data byte
                 else:
-                    self.marker = nxt  # leave marker unconsumed
+                    # a lone 0xFF at end-of-data has no marker byte; treat
+                    # it as EOI so the loop switches to 1-bit padding
+                    # instead of re-reading the same byte forever
+                    self.marker = nxt if nxt is not None else 0xD9
                     continue
             else:
                 self.pos += 1
@@ -247,6 +250,12 @@ def _decode_scan(data, pos, frame, scan_tabs, qt, huff_dc, huff_ac,
         planes.append(np.zeros((bh, bw, 64), dtype=np.int32))
     pred = [0] * len(comps)
     n_mcu = mcux * mcuy
+    for cid, hs, vs, tq in comps:
+        if cid not in scan_tabs:
+            raise ValueError("SOS missing frame component")
+        td, ta = scan_tabs[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("undeclared Huffman table slot")
     for mi in range(n_mcu):
         if restart_interval and mi and mi % restart_interval == 0:
             br.restart()

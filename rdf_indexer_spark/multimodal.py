@@ -157,7 +157,7 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
         if kind == "audio" and payload.startswith(b"RIFF"):
             samples, _ = decode_wav(payload)
             return samples.reshape(-1)
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, KeyError):
         pass
     return _decode_stub(payload, kind)
 

