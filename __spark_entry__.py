@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": Q.q_bm25_topk_wand,
         "bm25_topk_wand_dist": Q.q_bm25_topk_wand_dist,
         "bm25_sql_surface": Q.q_bm25_sql_surface,
+        "bm25_sql_fq": Q.q_bm25_sql_fq,
         "bm25_topk_and": Q.q_bm25_topk_and,
         "bm25_topk_filtered": Q.q_bm25_topk_filtered,
         "bm25_batch": Q.q_bm25_batch,
@@ -403,6 +404,9 @@ def oracle_sql() -> dict[str, str]:
         # the SQL table-valued surface (SELECT * FROM bm25_search(...)) must
         # equal the same from-scratch SQL BM25 as the other two paths
         "bm25_sql_surface": bm25_topk_sql,
+        # q+fq through the SQL surface: same filtered oracle as the
+        # distributed filtered walk (scores unchanged, visibility filtered)
+        "bm25_sql_fq": bm25_filtered_sql,
         "bm25_topk_and": bm25_and_sql,
         "bm25_topk_filtered": bm25_filtered_sql,
         "bm25_batch": bm25_batch_sql,

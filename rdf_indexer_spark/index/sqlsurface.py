@@ -54,14 +54,47 @@ def _load_reader_state(index_dir: str) -> dict:
     }
 
 
+def _allowed_local(index_dir: str, where: str | None) -> np.ndarray | None:
+    """Worker-side fq evaluation: SQL predicate over the docstore → sorted
+    visible doc_id set (the ``where`` surface of the SQL point-query path).
+
+    No SparkSession exists on the worker, so the predicate is evaluated by
+    DuckDB over the hive-partitioned docstore parquet — projection is just
+    ``doc_id`` and the predicate pushes into the parquet scan (row-group
+    zonemaps), so the cost is a pruned columnar scan, not a docstore read.
+    Simple fq shapes (equality / ranges / IN / arithmetic / AND-OR) mean
+    the same thing in DuckDB and Spark SQL; this mirrors how Solr evaluates
+    fq inside the index rather than in the client (SolrClient.java:144-163).
+    For unselective predicates over a multi-TB docstore the distributed
+    cogrouped walk (bm25.search_wand_distributed) remains the right path —
+    this is the single-task serving surface."""
+    if where is None:
+        return None
+    import duckdb
+
+    glob = os.path.join(index_dir, "docstore", "*", "*.parquet")
+    con = duckdb.connect()
+    try:
+        ids = con.execute(
+            f"SELECT doc_id FROM read_parquet('{glob}', hive_partitioning=1) "
+            f"WHERE {where}"
+        ).fetchnumpy()["doc_id"]
+    finally:
+        con.close()
+    return np.sort(np.asarray(ids, dtype=np.int64))
+
+
 def _search_local(index_dir: str, query: str, k: int,
-                  mode: str = "or") -> list[tuple[int, float]]:
+                  mode: str = "or",
+                  where: str | None = None) -> list[tuple[int, float]]:
     """The full WAND walk against the on-disk index, no Spark involved.
 
     Reuses the exact cursor/walk implementation of the driver path
     (bm25._Cursor / bm25._wand_topk / bm25._and_topk) over pyarrow-fetched
     blocks. ``mode="and"`` = strict Lucene +required (every query term
-    required; a term absent from the index matches nothing)."""
+    required; a term absent from the index matches nothing). ``where`` is
+    the fq visibility filter (Solr q+fq: non-scoring), evaluated on the
+    worker against the docstore — see :func:`_allowed_local`."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -101,25 +134,34 @@ def _search_local(index_dir: str, query: str, k: int,
         _Cursor(t, idfs[t], by_term[t], state["avgdl"])
         for t in sorted(idfs) if t in by_term
     ]
+    allowed = _allowed_local(index_dir, where)
+    if allowed is not None and not len(allowed):
+        return []  # predicate admits nothing: skip the walk
     if mode == "and":
         # n_required = EVERY query term (same contract as search_wand)
-        return _and_topk(cursors, k, len(terms), deleted=state["tombstones"])
-    return _wand_topk(cursors, k, deleted=state["tombstones"])
+        return _and_topk(cursors, k, len(terms), deleted=state["tombstones"],
+                         allowed=allowed)
+    return _wand_topk(cursors, k, deleted=state["tombstones"],
+                      allowed=allowed)
 
 
 def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
-    """Register ``name(query, k[, mode])`` as a SQL table function for
-    ``index_dir`` — mode 'or' (default) or 'and' (strict +required, the
-    Solr ``+term`` surface in SQL).
+    """Register ``name(query, k[, mode[, where]])`` as a SQL table function
+    for ``index_dir`` — mode 'or' (default) or 'and' (strict +required, the
+    Solr ``+term`` surface in SQL); ``where`` is an optional fq visibility
+    predicate over the docstore (the Solr q+fq composition — relevance plus
+    a non-scoring filter), evaluated index-side on the worker exactly like
+    ``IndexReader.search(where=...)``.
 
     Returns the registered UDTF handle. The index path is bound at
-    registration time (SQL callers pass only query/k/mode)."""
+    registration time (SQL callers pass only query/k/mode/where)."""
     from pyspark.sql.functions import udtf
 
     class BM25Search:
-        def eval(self, query: str, k: int, mode: str = "or"):
+        def eval(self, query: str, k: int, mode: str = "or",
+                 where: str = None):
             for rank, (doc, score) in enumerate(
-                _search_local(index_dir, query, int(k), mode)
+                _search_local(index_dir, query, int(k), mode, where)
             ):
                 yield int(doc), float(score), rank + 1
 

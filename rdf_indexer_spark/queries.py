@@ -430,6 +430,22 @@ def q_bm25_sql_surface(spark, sf):
     )
 
 
+def q_bm25_sql_fq(spark, sf):
+    """The Solr q+fq composition on the SQL surface (r5 — VERDICT r4 item
+    3): ``bm25_search(q, k, mode, where)`` evaluates the docstore predicate
+    index-side on the worker (sqlsurface._allowed_local), matching
+    ``IndexReader.search(where=...)`` exactly. Oracle: the same filtered
+    from-scratch SQL BM25 as bm25_topk_filtered."""
+    from .index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, _index_for(spark, sf))
+    q = " ".join(BM25_QUERY_TERMS)
+    return spark.sql(
+        f"SELECT doc_id, round(score, 4) AS score "
+        f"FROM bm25_search('{q}', 10, 'or', 'doc_id % 3 = 0')"
+    )
+
+
 def q_exact_dedup(spark, sf):
     """Exact dedup groups: content-hash groupBy."""
     return (

@@ -283,6 +283,23 @@ def test_sql_surface_identity(spark, index_dir):
     assert got == reader.search_wand("the alpha", 15, mode="and")
     assert spark.sql(
         "SELECT * FROM bm25_search('the zzznotaword', 5, 'and')").count() == 0
+    # fq (r5): fourth arg is a docstore predicate evaluated index-side,
+    # matching IndexReader.search_wand(where=...) exactly — scores
+    # unchanged, visibility restricted (Solr q+fq)
+    where = "doc_id % 3 = 0"
+    got = [(r["doc_id"], r["score"]) for r in spark.sql(
+        f"SELECT * FROM bm25_search('the alpha', 15, 'or', '{where}')"
+    ).orderBy("rank").collect()]
+    assert got == reader.search_wand("the alpha", 15, where=where)
+    assert all(d % 3 == 0 for d, _ in got) and got
+    # fq composes with AND mode, and an empty visible set yields no rows
+    got = [(r["doc_id"], r["score"]) for r in spark.sql(
+        f"SELECT * FROM bm25_search('the alpha', 15, 'and', '{where}')"
+    ).orderBy("rank").collect()]
+    assert got == reader.search_wand("the alpha", 15, mode="and", where=where)
+    assert spark.sql(
+        "SELECT * FROM bm25_search('the', 5, 'or', 'doc_id < 0')"
+    ).count() == 0
 
 
 def test_and_mode_identity_and_semantics(spark, index_dir):
