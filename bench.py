@@ -59,7 +59,7 @@ def _tmin(fn, reps: int = 2):
 
 
 def run_index_build(spark, sf_dir: str, index_dir: str, num_buckets: int = 8,
-                    replicate: int = 1):
+                    replicate: int = 1, profile: dict | None = None):
     from pyspark.sql import functions as F
 
     from rdf_indexer_spark.index.build import build_index
@@ -83,7 +83,7 @@ def run_index_build(spark, sf_dir: str, index_dir: str, num_buckets: int = 8,
     # stats); the uncompressed postings table is a debug/oracle artifact
     dt, _ = _t(lambda: build_index(
         spark, docs, index_dir, num_buckets=num_buckets, resume=False,
-        write_postings=False, n_docs=n_docs,
+        write_postings=False, n_docs=n_docs, profile=profile,
     ))
     return dt, n_docs
 
@@ -297,6 +297,36 @@ def _scaling_child(sf_dir: str, cpus: int) -> dict:
     return {"cpus": cpus, "seconds": stages["full_build"], "docs": n_docs,
             "docs_per_sec": n_docs / stages["full_build"],
             "stages": stages, "volumes": volumes}
+
+
+def _attr_child(sf_dir: str, cpus: int) -> dict:
+    """Substage attribution child (VERDICT r4 item 2): the exact scaling
+    workload of ``_scaling_child`` (same replicate, buckets, /dev/shm sink),
+    but the build runs in profile mode, so the post-shuffle residual that
+    scaled only 1.54x (vs the shuffle's 2.81x) decomposes into lineage
+    compute (noop-sink executions of the same DataFrames), sink writes
+    (write_pass - noop ~= sink cost), metric re-scans and finalize."""
+    from rdf_indexer_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, app_name=f"bench-attr-{cpus}")
+    spark.range(10_000).count()  # JVM warmup
+    tp_warm = spark.sparkContext.defaultParallelism * 2
+    spark.range(tp_warm).repartition(tp_warm).mapInPandas(
+        lambda it: it, "id long"
+    ).count()  # Python-worker fleet warmup (see _scaling_child)
+
+    profile: dict[str, float] = {}
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix=f"bench_attr_{cpus}_", dir=tmp_root)
+    try:
+        dt, n_docs = run_index_build(
+            spark, sf_dir, tmp, num_buckets=32,
+            replicate=SCALING_REPLICATE, profile=profile,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"cpus": cpus, "seconds": dt, "docs": n_docs,
+            "profile": {k: round(v, 3) for k, v in profile.items()}}
 
 
 def _memburn(n):
@@ -670,6 +700,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         cpus, sf_dir = int(sys.argv[2]), sys.argv[3]
         print(json.dumps(_scaling_child(sf_dir, cpus)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--attr-child":
+        cpus, sf_dir = int(sys.argv[2]), sys.argv[3]
+        print(json.dumps(_attr_child(sf_dir, cpus)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         bench = run_full(SF_DIR, CPUS)

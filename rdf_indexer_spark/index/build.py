@@ -40,6 +40,7 @@ member posting.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -204,6 +205,7 @@ def build_index(
     buckets_per_job: int | None = None,
     write_postings: bool = True,
     n_docs: int | None = None,
+    profile: dict | None = None,
 ) -> dict:
     """Build (or resume) the full index for ``docs`` under ``index_dir``.
 
@@ -214,7 +216,16 @@ def build_index(
     table — a debug/oracle artifact, not part of the index proper (the
     blocks ARE the postings; Lucene keeps no uncompressed copy either).
     The core pipeline then runs as one fused lineage with no intermediate
-    I/O. Pass ``n_docs`` when known to skip the max-id scan."""
+    I/O. Pass ``n_docs`` when known to skip the max-id scan.
+
+    ``profile`` (measurement mode, default off): pass a dict to receive
+    per-substage wall seconds — docstore_write, blocks_write, metrics_scan,
+    finalize — PLUS noop-format executions of the big lineages
+    (docstore_lineage_noop; postings_lineage_noop = compute+shuffle only;
+    blocks_lineage_noop = compute+shuffle+pack — the write pass re-runs the
+    same lineage, so write_pass − noop ≈ sink cost), so write bandwidth
+    separates from job structure in scaling attribution. Profiling roughly
+    triples build work; never enable it on a production build."""
     paths = IndexPaths(index_dir)
     manifest = Manifest(paths.manifest)
     writer = IndexWriter(manifest)
@@ -269,6 +280,19 @@ def build_index(
             F.pmod(stripe_col, F.lit(stripes)),
         )
 
+    def _timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        if profile is not None:
+            profile[name] = profile.get(name, 0.0) + (time.perf_counter() - t0)
+        return out
+
+    def _noop(name: str, df: DataFrame) -> None:
+        # measurement mode only: execute the full lineage with the write
+        # elided (Spark's noop sink) to split compute from write bandwidth
+        if profile is not None:
+            _timed(name, lambda: df.write.format("noop").mode("overwrite").save())
+
     for gstart in range(0, len(pending), group_size):
         group = pending[gstart: gstart + group_size]
         part_col = F.col("part")
@@ -299,7 +323,10 @@ def build_index(
         # parallelism level (BENCH diagnostics); the pruned re-scan reads
         # only (part, dl, content_sha256) / (part, n) and is a short, fully
         # parallel job.
-        writer.append_partitioned(enriched.drop("toks"), paths.docstore)
+        docstore_df = enriched.drop("toks")
+        _noop("docstore_lineage_noop", docstore_df)
+        _timed("docstore_write",
+               lambda: writer.append_partitioned(docstore_df, paths.docstore))
 
         # postings: map-side partial agg collapses duplicate (term, doc)
         # pairs before the shuffle; the aligned repartition then clusters
@@ -320,7 +347,8 @@ def build_index(
         # persisted as the postings table and packed from the files (read
         # back with splitting disabled so no group straddles a task).
         if write_postings:
-            writer.append_partitioned(postings, paths.postings)
+            _timed("postings_write",
+                   lambda: writer.append_partitioned(postings, paths.postings))
             old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
             try:
@@ -328,14 +356,21 @@ def build_index(
                     part_col.isin(group)
                 )
                 blocks = src.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-                writer.append_partitioned(blocks, paths.blocks)
+                _timed("blocks_write",
+                       lambda: writer.append_partitioned(blocks, paths.blocks))
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         else:
             blocks = postings.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
-            writer.append_partitioned(blocks, paths.blocks)
+            # shuffle-only probe (pre-pack), then shuffle+pack probe: their
+            # delta attributes the pack kernel separately from the shuffle
+            _noop("postings_lineage_noop", postings)
+            _noop("blocks_lineage_noop", blocks)
+            _timed("blocks_write",
+                   lambda: writer.append_partitioned(blocks, paths.blocks))
 
-        doc_m, post_m = _group_metrics(spark, paths, group)
+        doc_m, post_m = _timed(
+            "metrics_scan", lambda: _group_metrics(spark, paths, group))
         for b in group:
             dm = doc_m.get(b, {})
             writer.commit(
@@ -346,6 +381,7 @@ def build_index(
                 sha_agg=str(dm.get("sha") or 0),
             )
 
+    t_fin = time.perf_counter()
     if not (resume and manifest.is_done("finalize", "stats")):
         # corpus stats come from the per-bucket lineage metrics the build
         # jobs already Observed — no re-scan of the docstore (at 100 TB
@@ -369,6 +405,9 @@ def build_index(
         )
         writer.overwrite(termstats, paths.termstats)
         writer.commit("finalize", "stats")
+    if profile is not None:
+        profile["finalize"] = profile.get("finalize", 0.0) + (
+            time.perf_counter() - t_fin)
 
     return manifest.summary()
 
