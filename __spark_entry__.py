@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sql_surface": Q.q_bm25_sql_surface,
         "bm25_sql_fq": Q.q_bm25_sql_fq,
         "bm25_topk_and": Q.q_bm25_topk_and,
+        "bm25_topk_phrase": Q.q_bm25_topk_phrase,
+        "bm25_after_update": Q.q_bm25_after_update,
         "bm25_topk_filtered": Q.q_bm25_topk_filtered,
         "bm25_batch": Q.q_bm25_batch,
         # training-data pipeline operators
@@ -166,6 +168,101 @@ def oracle_sql() -> dict[str, str]:
     bm25_batch_sql = (
         _bm25_one("q1", bm25_terms) + " UNION ALL " + _bm25_one("q2", post_terms)
     )
+
+    # exact-phrase oracle (bm25_topk_phrase, phrase "table hash"): a doc
+    # matches iff the consecutive token sequence occurs; pf = number of
+    # phrase start positions; score = (Σ idf of the phrase's tokens, WITH
+    # multiplicity) * pf / (pf + k1*(1 - b + b*dl/avgdl)) — Lucene
+    # PhraseQuery semantics, the same shape the index-side position-list
+    # leapfrog computes. Positions come from generate_subscripts aligned
+    # with unnest (1-based is fine: only pos adjacency matters).
+    bm25_phrase_sql = f"""
+        WITH tokp AS (
+          SELECT doc_id, unnest({tok}) AS term,
+                 generate_subscripts({tok}, 1) AS pos
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+          WHERE term IN ('table', 'hash') GROUP BY term
+        ),
+        idf AS (
+          SELECT sum(ln(1 + (n - df + 0.5) / (df + 0.5))) AS idf_sum,
+                 count(*) AS terms_present
+          FROM df CROSS JOIN stats
+        ),
+        starts AS (
+          SELECT a.doc_id
+          FROM tokp a
+          JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'table' AND b.term = 'hash'
+        ),
+        pf AS (SELECT doc_id, count(*)::DOUBLE AS pf FROM starts GROUP BY doc_id),
+        scores AS (
+          SELECT pf.doc_id,
+                 idf_sum * pf
+                 / (pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS score
+          FROM pf
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          CROSS JOIN idf
+          WHERE terms_present = 2
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
+    # bm25_after_update oracle: two-version corpus — every original doc
+    # plus, for doc_id < 5, an UPDATED version (text + 2 marker tokens)
+    # under a distinct version id. Statistics (n, avgdl, df) count BOTH
+    # versions (the Lucene deleted-docs posture update_documents
+    # documents: stats keep counting tombstoned versions until rebuild);
+    # results exclude the dead old versions and report the stable
+    # original id for updated docs.
+    tokv = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')"
+    bm25_update_sql = f"""
+        WITH corpus AS (
+          SELECT doc_id AS vid, doc_id AS ref_id,
+                 (doc_id >= 5) AS visible, text
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS vid, doc_id AS ref_id, TRUE AS visible,
+                 text || ' updatedmarker refreshed' AS text
+          FROM documents WHERE doc_id < 5
+        ),
+        q(term) AS (VALUES ('updatedmarker'), ('window'), ('join')),
+        tokd AS (SELECT vid, unnest({tokv}) AS term FROM corpus),
+        dl AS (
+          SELECT vid, ref_id, visible, len({tokv})::DOUBLE AS dl FROM corpus
+        ),
+        tf AS (
+          SELECT vid, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY vid, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT vid)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.vid,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.vid = dl.vid
+          CROSS JOIN stats
+          GROUP BY tf.vid
+        )
+        SELECT dl.ref_id AS doc_id, round(score, 4) AS score
+        FROM scores JOIN dl ON scores.vid = dl.vid
+        WHERE dl.visible
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
 
     bm25_and_sql = f"""
         WITH q(term) AS (VALUES ('table'), ('query'), ('filter')),
@@ -408,6 +505,12 @@ def oracle_sql() -> dict[str, str]:
         # distributed filtered walk (scores unchanged, visibility filtered)
         "bm25_sql_fq": bm25_filtered_sql,
         "bm25_topk_and": bm25_and_sql,
+        # exact phrase over the positional index vs the from-scratch
+        # positional SQL restatement (slot-adjacency self-join)
+        "bm25_topk_phrase": bm25_phrase_sql,
+        # index mutation (update_documents = delete+append) vs the
+        # two-version-corpus SQL restatement (deleted-docs statistics)
+        "bm25_after_update": bm25_update_sql,
         "bm25_topk_filtered": bm25_filtered_sql,
         "bm25_batch": bm25_batch_sql,
         "exact_dedup": """

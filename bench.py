@@ -58,8 +58,16 @@ def _tmin(fn, reps: int = 2):
     return best, out
 
 
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs
+    )
+
+
 def run_index_build(spark, sf_dir: str, index_dir: str, num_buckets: int = 8,
-                    replicate: int = 1, profile: dict | None = None):
+                    replicate: int = 1, profile: dict | None = None,
+                    positions: bool = False):
     from pyspark.sql import functions as F
 
     from rdf_indexer_spark.index.build import build_index
@@ -84,6 +92,7 @@ def run_index_build(spark, sf_dir: str, index_dir: str, num_buckets: int = 8,
     dt, _ = _t(lambda: build_index(
         spark, docs, index_dir, num_buckets=num_buckets, resume=False,
         write_postings=False, n_docs=n_docs, profile=profile,
+        positions=positions,
     ))
     return dt, n_docs
 
@@ -180,15 +189,33 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         # fraction at nprobe ∈ {1, 4, 8} over one shared index. QUALITY
         # measurements: timed, but outside the wallclock total so `value`
         # stays comparable across rounds.
+        from pyspark.sql import functions as F
+
         from rdf_indexer_spark.similarity import (
-            ivf_index, ivf_recall_at_k, kmeans_centroids, lsh_recall_at_k,
-            synthetic_clustered_embeddings,
+            cosine_topk_batch, ivf_index, ivf_recall_at_k, kmeans_centroids,
+            lsh_recall_at_k, synthetic_clustered_embeddings,
         )
 
         emb = synthetic_clustered_embeddings(spark, n=4000, dim=64).persist()
         emb.count()
+        # ONE brute-force oracle pass, timed separately and shared by every
+        # recall call below (VERDICT r4 item 5: the recall jobs were
+        # oracle-dominated — the r4 IVF loop re-ran the oracle per nprobe —
+        # so index-path cost was invisible; now each side carries its own
+        # number and ann_*_recall_job times the INDEX PATH only)
+        q_rows = emb.filter(F.col("vec_id") < 50).select(
+            "vec_id", "embedding").collect()
+        queries_df = spark.createDataFrame(
+            [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in q_rows],
+            "query_id int, qvec array<double>",
+        )
+        oracle = cosine_topk_batch(emb, queries_df, 10).persist()
+        dt, _ = _t(oracle.count)
+        timings["ann_oracle_job"] = round(dt, 3)
+
         dt, recall = _t(lambda: lsh_recall_at_k(
-            emb, n_queries=50, k=10, n_tables=4, n_bits=12))
+            emb, n_queries=50, k=10, n_tables=4, n_bits=12, oracle=oracle))
         timings["ann_lsh_recall_job"] = round(dt, 3)
         ann_recall = round(recall, 4)
 
@@ -199,10 +226,39 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         for nprobe in (1, 4, 8):
             dt, r = _t(lambda nprobe=nprobe: ivf_recall_at_k(
                 emb, n_queries=50, k=10, nprobe=nprobe,
-                centroids=cents, index_df=ivf_idx))
+                centroids=cents, index_df=ivf_idx, oracle=oracle))
             t_ivf += dt
             ann_ivf[f"nprobe_{nprobe}"] = r
         timings["ann_ivf_recall_job"] = round(t_ivf, 3)
+        oracle.unpersist()
+
+        # positional index (r5, phrase queries): build cost + on-disk size
+        # delta of positions=True vs the core bag-of-words index, and
+        # phrase top-k latency. Like the ANN quality jobs these run AFTER
+        # `value` is summed, so the headline metric stays comparable with
+        # r4 while BENCH carries the positional numbers the VERDICT asked
+        # for (item 4: "index-size delta reported in BENCH").
+        pos_tmp = tempfile.mkdtemp(prefix="bench_pidx_")
+        try:
+            dt_p, _ = run_index_build(spark, sf_dir, pos_tmp, positions=True)
+            timings["index_build_positional"] = round(dt_p, 3)
+            preader = IndexReader(spark, pos_tmp)
+            dt, _ = _tmin(
+                lambda: preader.search_phrase("table hash", 10))
+            timings["phrase_topk"] = round(dt, 3)
+            dt, _ = _tmin(
+                lambda: preader.search_phrase("window shuffle join", 10))
+            timings["phrase_topk_3term"] = round(dt, 3)
+            core_b = _dir_bytes(os.path.join(tmp, "blocks"))
+            pos_b = _dir_bytes(os.path.join(pos_tmp, "blocks"))
+            index_size = {
+                "blocks_bytes_core": core_b,
+                "blocks_bytes_positional": pos_b,
+                "positional_overhead_x": (
+                    round(pos_b / core_b, 3) if core_b else None),
+            }
+        finally:
+            shutil.rmtree(pos_tmp, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -223,6 +279,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         "docs_per_sec": docs_per_sec,
         "ann_lsh_recall_at_10": ann_recall,
         "ann_ivf_recall_at_10": ann_ivf,
+        "index_size": index_size,
     }
 
 

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..analyzer import tokenize
 from .build import IndexPaths
-from .codec import unpack_block
+from .codec import unpack_block, unpack_positions
 
 K1 = 1.2
 B = 0.75
@@ -197,14 +197,27 @@ class IndexReader:
 
     # -- block-max WAND ------------------------------------------------------
 
-    def fetch_blocks(self, terms: list[str]) -> dict[str, list]:
+    def fetch_blocks(
+        self, terms: list[str], with_positions: bool = False,
+    ) -> dict[str, list]:
+        blocks = self.spark.read.parquet(self.paths.blocks)
+        cols = ["term", "first_doc_id", "last_doc_id", "n", "max_tf",
+                "dl_min", "ids_bin", "tfs_bin", "dls_bin"]
+        if with_positions:
+            if "pos_bin" not in blocks.columns:
+                raise ValueError(
+                    "not a positional index: rebuild with "
+                    "build_index(positions=True) for phrase queries")
+            cols.append("pos_bin")
         rows = (
-            self.spark.read.parquet(self.paths.blocks)
-            .filter(F.col("term").isin(terms))
-            .select("term", "first_doc_id", "last_doc_id", "n", "max_tf",
-                    "dl_min", "ids_bin", "tfs_bin", "dls_bin")
-            .collect()
+            blocks.filter(F.col("term").isin(terms)).select(*cols).collect()
         )
+        if with_positions and any(r["pos_bin"] is None for r in rows):
+            # the pos_bin COLUMN always exists (BLOCK_SCHEMA); only its
+            # payload tells a positional build from a bag-of-words one
+            raise ValueError(
+                "not a positional index: rebuild with "
+                "build_index(positions=True) for phrase queries")
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
@@ -253,6 +266,127 @@ class IndexReader:
         if mode != "or":
             raise ValueError(f"unknown mode: {mode!r}")
         return _wand_topk(cursors, k, deleted=self.tombstones, allowed=allowed)
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, *, where: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exact-phrase top-k over a POSITIONAL index (Q-9 extension; the
+        capability delta VERDICT r4 ranked #2 — Lucene phrase queries work
+        out-of-the-box on its positional postings, SolrClient.java:125-201
+        serves them; this closes that gap engine-side).
+
+        Semantics = Lucene ``PhraseQuery`` (slop 0): a doc matches iff the
+        exact consecutive token sequence occurs; ``pf`` = number of phrase
+        occurrences; score = (Σ_i idf(t_i), summed WITH multiplicity over
+        the phrase's token sequence — Lucene sums the idf explanation the
+        same way) · pf/(pf + k1·(1 − b + b·dl/avgdl)). Every phrase term is
+        required, so an index-absent term matches nothing. Tie-break
+        (score desc, doc_id asc); tombstones + optional fq ``where`` as in
+        :meth:`search_wand`.
+
+        Plan shape: the conjunctive leapfrog of :func:`_and_topk` over the
+        DISTINCT terms' cursors (docs failing the AND intersection never
+        decode positions), then a position-list intersection
+        (:func:`_phrase_freq`) only at aligned docs — positions stream
+        lazily per block, nothing but the phrase terms' blocks is read."""
+        terms = tokenize(phrase)  # in order, duplicates kept
+        if not terms or k <= 0:
+            return []
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        if any(t not in stats for t in uniq):
+            return []
+        idf_sum = sum(self._idf(stats[t]["df"]) for t in terms)
+        allowed = self.allowed_ids(where)
+        blocks = self.fetch_blocks(uniq, with_positions=True)
+        if any(t not in blocks for t in uniq):
+            return []
+        cursors = {
+            t: _Cursor(t, self._idf(stats[t]["df"]), blocks[t], self.avgdl)
+            for t in uniq
+        }
+        return _phrase_topk(terms, cursors, idf_sum, k, self.avgdl,
+                            deleted=self.tombstones, allowed=allowed)
+
+    def postings_view_positional(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf, dl, positions) decoded from the packed blocks
+        for the given terms — the declarative substrate for
+        :meth:`score_phrase_exhaustive` (narrow vectorized decode, pruned
+        to the phrase's terms by the parquet ``term`` predicate)."""
+        blocks = self.spark.read.parquet(self.paths.blocks)
+        if "pos_bin" not in blocks.columns:
+            raise ValueError(
+                "not a positional index: rebuild with "
+                "build_index(positions=True) for phrase queries")
+        src = blocks.filter(F.col("term").isin(terms)).select(
+            "term", "ids_bin", "tfs_bin", "dls_bin", "pos_bin")
+        if src.filter(F.col("pos_bin").isNull()).limit(1).count():
+            # column present but payload NULL = bag-of-words build; fail
+            # driver-side with a clear error instead of an executor crash
+            raise ValueError(
+                "not a positional index: rebuild with "
+                "build_index(positions=True) for phrase queries")
+        return src.mapInPandas(
+            _decode_blocks_pos_stream,
+            schema="term string, doc_id long, tf long, dl long, "
+                   "positions array<int>",
+        )
+
+    def score_phrase_exhaustive(
+        self, phrase: str, k: int | None = 10, *, where: str | None = None,
+    ) -> DataFrame:
+        """Declarative oracle twin of :meth:`search_phrase`: decode the
+        phrase terms' positional postings, slide each phrase slot i to its
+        start position (pos − i), count per-doc aligned starts (= phrase
+        frequency) via successive equi-joins, score once per doc. Identity
+        with the walk is asserted in tests/test_index.py."""
+        terms = tokenize(phrase)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        if any(t not in stats for t in uniq):
+            return empty
+        idf_sum = sum(self._idf(stats[t]["df"]) for t in terms)
+        pv = self.postings_view_positional(uniq)
+        matched = None
+        for i, t in enumerate(terms):
+            # NB: the transform lambda must take ONE parameter — a second
+            # parameter (even defaulted) makes PySpark bind it to the array
+            # ELEMENT INDEX, silently shadowing the slot offset. The Column
+            # expression is built eagerly, so capturing `shift` is safe.
+            shift = F.lit(i)
+            slot = pv.filter(F.col("term") == t).select(
+                "doc_id",
+                *(["dl"] if i == 0 else []),
+                F.explode(
+                    F.transform("positions", lambda p: p - shift)
+                ).alias("p"),
+            )
+            matched = slot if matched is None else matched.join(
+                slot, ["doc_id", "p"])
+        pf = matched.groupBy("doc_id", "dl").agg(
+            F.count("*").cast("double").alias("pf"))
+        score = (
+            F.lit(float(idf_sum)) * F.col("pf")
+            / (F.col("pf") + F.lit(K1) * (
+                F.lit(1.0) - F.lit(B)
+                + F.lit(B) * F.col("dl") / F.lit(self.avgdl)))
+        )
+        scored = pf.select("doc_id", score.alias("score"))
+        if where is not None:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("doc_id")
+            )
+            scored = scored.join(visible, "doc_id", "left_semi")
+        if len(self.tombstones):
+            tomb = self.spark.read.parquet(self._tomb_path).select(
+                "doc_id").distinct()
+            scored = scored.join(tomb, "doc_id", "left_anti")
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
 
     def search_wand_distributed(
         self, query: str, k: int = 10, *, mode: str = "or",
@@ -542,6 +676,40 @@ def _decode_blocks_stream(batches):
         })
 
 
+def _decode_blocks_pos_stream(batches):
+    """mapInPandas kernel: packed POSITIONAL block rows →
+    (term, doc_id, tf, dl, positions)."""
+    import pandas as pd
+
+    for pdf in batches:
+        terms, ids, tfs, dls, poss = [], [], [], [], []
+        for term, ib, tb, db, pb in zip(pdf["term"], pdf["ids_bin"],
+                                        pdf["tfs_bin"], pdf["dls_bin"],
+                                        pdf["pos_bin"]):
+            if pb is None:
+                raise ValueError(
+                    "not a positional index: block lacks pos_bin")
+            i, t, d = unpack_block(bytes(ib), bytes(tb), bytes(db))
+            flat, offs = unpack_positions(bytes(pb), t)
+            terms.extend([term] * len(i))
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+            poss.extend(
+                flat[offs[j]:offs[j + 1]].astype(np.int32).tolist()
+                for j in range(len(i))
+            )
+        if not ids:
+            continue
+        yield pd.DataFrame({
+            "term": terms,
+            "doc_id": np.concatenate(ids),
+            "tf": np.concatenate(tfs),
+            "dl": np.concatenate(dls),
+            "positions": poss,
+        })
+
+
 def _norm(dl: float, avgdl: float) -> float:
     return K1 * (1.0 - B + B * dl / avgdl)
 
@@ -560,6 +728,11 @@ class _Cursor:
     tfs: np.ndarray | None = None
     dls: np.ndarray | None = None
     exhausted: bool = field(default=False)
+    # positional payload (phrase path) — decoded lazily per block, cached
+    # by block index so repeated occurrences in one block decode once
+    _pos_bi: int = field(default=-1)
+    _pos_flat: np.ndarray | None = field(default=None)
+    _pos_offs: np.ndarray | None = field(default=None)
 
     def __post_init__(self):
         self.global_ub = max(
@@ -602,6 +775,21 @@ class _Cursor:
         tf = float(self.tfs[self.pos])
         dl = float(self.dls[self.pos])
         return self.idf * tf / (tf + _norm(dl, self.avgdl))
+
+    def cur_positions(self) -> np.ndarray:
+        """Sorted token positions of the CURRENT posting (phrase path;
+        requires blocks fetched with ``with_positions=True``). Decodes the
+        whole block's ``pos_bin`` once and slices per posting — segment
+        boundaries come from the already-decoded tfs (codec layout)."""
+        if self._pos_bi != self.bi:
+            pb = self.blocks[self.bi]["pos_bin"]
+            if pb is None:
+                raise ValueError(
+                    "not a positional index: rebuild with "
+                    "build_index(positions=True) for phrase queries")
+            self._pos_flat, self._pos_offs = unpack_positions(bytes(pb), self.tfs)
+            self._pos_bi = self.bi
+        return self._pos_flat[self._pos_offs[self.pos]:self._pos_offs[self.pos + 1]]
 
     def advance(self) -> None:
         self.pos += 1
@@ -680,6 +868,68 @@ def _and_topk(
                 score += c.contribution()
             offer(target, score)
             for c in cursors:
+                c.advance()
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
+
+
+def _phrase_freq(terms: list[str], cursors: dict[str, "_Cursor"]) -> int:
+    """Phrase frequency at the doc all cursors are aligned on: the count of
+    start positions p with term_i at p+i for every phrase slot — an
+    intersection of the slot-shifted (sorted, unique) position lists,
+    shortest-circuit on empty."""
+    base: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        p = cursors[t].cur_positions() - i
+        base = p if base is None else np.intersect1d(
+            base, p, assume_unique=True)
+        if base.size == 0:
+            return 0
+    return int(base.size)
+
+
+def _phrase_topk(
+    terms: list[str], cursors: dict[str, "_Cursor"], idf_sum: float,
+    k: int, avgdl: float,
+    deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Exact phrase top-k: conjunctive leapfrog over the distinct terms'
+    cursors (same loop as :func:`_and_topk`), position verification +
+    phrase-frequency scoring only at aligned docs."""
+    cs = list(cursors.values())
+    if k <= 0 or not cs:
+        return []
+    heap: list[tuple[float, int]] = []
+
+    def offer(doc: int, score: float) -> None:
+        if _in_sorted(deleted, doc):
+            return
+        if allowed is not None and not _in_sorted(allowed, doc):
+            return
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    while True:
+        if any(c.exhausted for c in cs):
+            break
+        target = max(c.cur_doc for c in cs)
+        for c in cs:
+            if c.cur_doc < target:
+                c.next_geq(target)
+        if any(c.exhausted for c in cs):
+            break
+        if all(c.cur_doc == target for c in cs):
+            pf = _phrase_freq(terms, cursors)
+            if pf:
+                c0 = cs[0]
+                dl = float(c0.dls[c0.pos])
+                score = idf_sum * pf / (pf + _norm(dl, avgdl))
+                offer(target, score)
+            for c in cs:
                 c.advance()
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))

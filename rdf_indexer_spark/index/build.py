@@ -49,14 +49,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_col
-from .codec import BLOCK_SIZE, varbyte_parts
+from .codec import BLOCK_SIZE, delta_encode_segmented, varbyte_parts
 from .manifest import Manifest
 from .writer import IndexWriter
 
 BLOCK_SCHEMA = (
     "part int, term string, seq int, n int, first_doc_id long, "
     "last_doc_id long, max_tf int, dl_min int, tf_sum long, bin_bytes long, "
-    "ids_bin binary, tfs_bin binary, dls_bin binary"
+    "ids_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
 )
 
 
@@ -105,6 +105,7 @@ def _pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ids = pdf["doc_id"].values.astype(np.int64)
     tfs = pdf["tf"].values.astype(np.int64)
     dls = pdf["dl"].values.astype(np.int64)
+    has_pos = "positions" in pdf.columns
     m = len(ids)
     change = np.flatnonzero((parts[1:] != parts[:-1]) | (terms[1:] != terms[:-1])) + 1
     gs = np.concatenate(([0], change))
@@ -123,6 +124,28 @@ def _pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     id_buf, id_off = varbyte_parts(deltas.astype(np.uint64))
     tf_buf, tf_off = varbyte_parts(tfs.astype(np.uint64))
     dl_buf, dl_off = varbyte_parts(dls.astype(np.uint64))
+    if has_pos:
+        # positional payload (optional, build_index(positions=True)): per
+        # posting, its sorted token positions delta-encoded with a reset at
+        # every posting start; per-posting counts are NOT stored — they are
+        # the tf column (one position per occurrence), so the decoder
+        # recovers segment boundaries for free (codec.unpack_positions)
+        pos_lists = [np.asarray(p, dtype=np.int64)
+                     for p in pdf["positions"].values]
+        lens = np.fromiter((len(p) for p in pos_lists), np.int64, count=m)
+        if not np.array_equal(lens, tfs):
+            raise ValueError("positions length != tf for some posting")
+        cum_pos = np.concatenate(([0], np.cumsum(lens)))
+        flat = (np.concatenate(pos_lists) if m
+                else np.array([], dtype=np.int64))
+        pos_deltas = delta_encode_segmented(flat, cum_pos[:-1])
+        pos_buf, pos_off = varbyte_parts(pos_deltas.astype(np.uint64))
+        pos_col = [
+            pos_buf[pos_off[cum_pos[s]]:pos_off[cum_pos[e]]].tobytes()
+            for s, e in zip(bs, be)
+        ]
+    else:
+        pos_col = [None] * len(bs)
     return pd.DataFrame({
         "part": parts[bs].astype(np.int32),
         "term": terms[bs],
@@ -144,6 +167,7 @@ def _pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "ids_bin": [id_buf[id_off[s]:id_off[e]].tobytes() for s, e in zip(bs, be)],
         "tfs_bin": [tf_buf[tf_off[s]:tf_off[e]].tobytes() for s, e in zip(bs, be)],
         "dls_bin": [dl_buf[dl_off[s]:dl_off[e]].tobytes() for s, e in zip(bs, be)],
+        "pos_bin": pos_col,
     })
 
 
@@ -205,6 +229,7 @@ def build_index(
     buckets_per_job: int | None = None,
     write_postings: bool = True,
     n_docs: int | None = None,
+    positions: bool = False,
     profile: dict | None = None,
 ) -> dict:
     """Build (or resume) the full index for ``docs`` under ``index_dir``.
@@ -217,6 +242,16 @@ def build_index(
     blocks ARE the postings; Lucene keeps no uncompressed copy either).
     The core pipeline then runs as one fused lineage with no intermediate
     I/O. Pass ``n_docs`` when known to skip the max-id scan.
+
+    ``positions=True`` builds a POSITIONAL index (Lucene stores positions
+    by default — this is the substrate for phrase queries, bm25.py
+    ``search_phrase``): the postings aggregation keeps each occurrence's
+    token position (``posexplode`` + sorted ``collect_list``) and the
+    packer writes a fourth varbyte column ``pos_bin`` (delta-encoded per
+    posting, segment bounds implied by tf — codec.delta_encode_segmented).
+    Non-positional builds write ``pos_bin`` as NULL; ``bin_bytes`` stays
+    the CORE three-column payload either way, so bag-of-words fetch-cost
+    routing is unaffected by the positional extra.
 
     ``profile`` (measurement mode, default off): pass a dict to receive
     per-substage wall seconds — docstore_write, blocks_write, metrics_scan,
@@ -334,10 +369,19 @@ def build_index(
         # makes every (part, term) group contiguous — which lets BOTH the
         # postings files (term-sorted → parquet row-group pruning) and the
         # block packer reuse this single shuffle.
+        if positions:
+            exploded = enriched.select(
+                "part", "doc_id", "dl",
+                F.posexplode("toks").alias("tok_pos", "term"),
+            )
+            aggs = [F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list("tok_pos")).alias("positions")]
+        else:
+            exploded = enriched.select(
+                "part", "doc_id", "dl", F.explode("toks").alias("term"))
+            aggs = [F.count("*").alias("tf")]
         postings = _part_aligned(
-            enriched.select("part", "doc_id", "dl", F.explode("toks").alias("term"))
-            .groupBy("part", "term", "doc_id", "dl")
-            .agg(F.count("*").alias("tf")),
+            exploded.groupBy("part", "term", "doc_id", "dl").agg(*aggs),
             F.xxhash64("term"),
         ).sortWithinPartitions("part", "term", "doc_id")
 

@@ -101,3 +101,38 @@ def pack_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[b
 def unpack_block(ids_bin: bytes, tfs_bin: bytes, dls_bin: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ids = delta_decode(varbyte_decode(ids_bin))
     return ids, varbyte_decode(tfs_bin).astype(np.int64), varbyte_decode(dls_bin).astype(np.int64)
+
+
+def delta_encode_segmented(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Delta-encode a flat concatenation of sorted segments, resetting (raw
+    value) at each segment start — the positional-postings layout: one
+    segment per posting, ``starts`` = flat index of each posting's first
+    position (positions within a posting are strictly increasing)."""
+    flat = np.asarray(flat, dtype=np.int64)
+    out = flat.copy()
+    if len(flat) > 1:
+        out[1:] = flat[1:] - flat[:-1]
+    out[starts] = flat[starts]
+    return out
+
+
+def unpack_positions(pos_bin: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of the segmented positional encoding for ONE block.
+
+    ``tfs`` are the block's term frequencies: posting i owns exactly
+    ``tfs[i]`` positions, so the segment boundaries are implied by data the
+    block already stores — no extra length column. Returns ``(flat, offs)``
+    where ``flat`` is every position in posting order and posting i's
+    positions are ``flat[offs[i]:offs[i+1]]`` (``offs`` has len(tfs)+1)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(tfs)))
+    deltas = varbyte_decode(pos_bin).astype(np.int64)
+    if deltas.size != offs[-1]:
+        raise ValueError(
+            f"positions payload has {deltas.size} values, tf sum is {offs[-1]}")
+    if deltas.size == 0:
+        return deltas, offs
+    cs = np.cumsum(deltas)
+    starts = offs[:-1]
+    base = cs[starts] - deltas[starts]
+    return cs - np.repeat(base, tfs), offs

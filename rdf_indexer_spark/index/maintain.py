@@ -1,4 +1,5 @@
-"""Index maintenance: tombstone deletes + incremental append.
+"""Index maintenance: tombstone deletes + incremental append + in-place
+update (delete+append composed, Lucene ``updateDocument`` semantics).
 
 The reference's operational loop is *purge archive → re-post documents*
 (``RDFIndexer.java:214-232`` purgeArchive + doIndexing; SolrClient delete-
@@ -60,6 +61,76 @@ def delete_by_query(spark: SparkSession, index_dir: str, predicate: str) -> int:
     return delete_docs(spark, index_dir, ids)
 
 
+def update_documents(
+    spark: SparkSession,
+    updated_docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4,
+    meta_cols: tuple[str, ...] = (),
+) -> dict:
+    """RESOLVE-style re-post: replace existing documents in place, as one
+    first-class index mutation (Lucene ``updateDocument`` semantics =
+    delete + add). The reference rewrites resolved docs back into the index
+    (``RDFIndexer.java:453-562`` posts the resolved object set over the old
+    archive after purge); this is that loop behind the writer seam.
+
+    ``updated_docs`` carries the OLD ``id_col`` values plus the new text.
+    New versions are appended under fresh dense ids (``n_docs`` onward —
+    old ids are never reused, keeping per-part id ranges disjoint/sorted),
+    then the old ids are tombstoned. Append-before-delete: a crash between
+    the two jobs leaves BOTH versions transiently visible (and the append
+    resumable), never neither — the same exposure order Lucene's
+    add-then-commit-deletes gives.
+
+    Equivalence (asserted in tests/test_maintain.py): the updated index is
+    rank- and score-identical ON EVERY QUERY PATH to a one-shot build over
+    the union corpus (old docs + updated docs under the same new ids) with
+    the old ids tombstoned. Corpus/term statistics keep counting the
+    tombstoned versions until a rebuild — the module-level Lucene
+    deleted-docs posture, identical to the delete path."""
+    paths = IndexPaths(index_dir)
+    from .docids import assign_doc_ids
+
+    n_old = int(
+        spark.read.parquet(paths.stats).collect()[0]["n_docs"])
+    bounds = updated_docs.agg(
+        F.max(F.col(id_col)).alias("hi"), F.count("*").alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    if bounds["n"] == 0:
+        return Manifest(paths.manifest).summary()
+    if int(bounds["hi"]) >= n_old:
+        raise ValueError(
+            f"update targets unknown doc_id {bounds['hi']} >= n_docs {n_old}")
+    if int(bounds["n"]) != int(bounds["nd"]):
+        raise ValueError("duplicate doc_ids in update set")
+
+    remapped = assign_doc_ids(
+        updated_docs.select(
+            F.col(id_col).cast("long").alias("_old_id"),
+            F.col(text_col).alias(text_col),
+            *[F.col(c) for c in meta_cols],
+        ),
+        ["_old_id"], out_col="_new_id",
+    )
+    new_docs = remapped.select(
+        (F.col("_new_id") + F.lit(n_old)).alias("doc_id"),
+        text_col, *[F.col(c) for c in meta_cols],
+    )
+    summary = append_documents(
+        spark, new_docs, index_dir,
+        num_buckets=num_buckets, meta_cols=meta_cols,
+    )
+    delete_docs(
+        spark, index_dir,
+        updated_docs.select(F.col(id_col).cast("long").alias("doc_id")),
+    )
+    return summary
+
+
 def append_documents(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -81,6 +152,15 @@ def append_documents(
     paths = IndexPaths(index_dir)
     manifest = Manifest(paths.manifest)
     writer = IndexWriter(manifest)
+    blocks_df = spark.read.parquet(paths.blocks)
+    # positional-index auto-detect: if the existing blocks carry a real
+    # pos_bin payload, appended buckets must too (else phrase queries would
+    # silently miss appended docs); pre-positional indexes (no pos_bin
+    # column at all) and positions=False builds (all-NULL) stay flat
+    positional = (
+        "pos_bin" in blocks_df.columns
+        and blocks_df.filter(F.col("pos_bin").isNotNull()).limit(1).count() > 0
+    )
     old = spark.read.parquet(paths.stats).collect()[0]
     n_old, tok_old = int(old["n_docs"]), int(old["total_tokens"])
     old_parts = [
@@ -130,10 +210,17 @@ def append_documents(
     # riding the write (measured 30-40% of build wall-clock)
     writer.append_partitioned(enriched.drop("toks"), paths.docstore)
 
+    if positional:
+        exploded = enriched.select(
+            "part", "doc_id", "dl", F.posexplode("toks").alias("tok_pos", "term"))
+        aggs = [F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("tok_pos")).alias("positions")]
+    else:
+        exploded = enriched.select(
+            "part", "doc_id", "dl", F.explode("toks").alias("term"))
+        aggs = [F.count("*").alias("tf")]
     postings = (
-        enriched.select("part", "doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("part", "term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
+        exploded.groupBy("part", "term", "doc_id", "dl").agg(*aggs)
         .repartition(spark.sparkContext.defaultParallelism * 2,
                      F.col("part"), F.xxhash64("term"))
         .sortWithinPartitions("part", "term", "doc_id")

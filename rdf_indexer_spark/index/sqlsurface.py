@@ -99,12 +99,13 @@ def _search_local(index_dir: str, query: str, k: int,
     import pyarrow.parquet as pq
 
     from ..analyzer import tokenize
-    from .bm25 import _Cursor, _and_topk, _wand_topk
+    from .bm25 import _Cursor, _and_topk, _phrase_topk, _wand_topk
 
-    if mode not in ("or", "and"):
+    if mode not in ("or", "and", "phrase"):
         raise ValueError(f"unknown mode: {mode!r}")
     state = _load_reader_state(index_dir)
-    terms = sorted(set(tokenize(query)))
+    toks = tokenize(query)  # order + duplicates kept (phrase mode)
+    terms = sorted(set(toks))
     if not terms:
         return []
     ts = pq.read_table(
@@ -119,10 +120,13 @@ def _search_local(index_dir: str, query: str, k: int,
     }
     if not idfs:
         return []
+    cols = ["term", "first_doc_id", "last_doc_id", "n", "max_tf",
+            "dl_min", "ids_bin", "tfs_bin", "dls_bin"]
+    if mode == "phrase":
+        cols.append("pos_bin")
     blocks_tbl = pq.read_table(
         os.path.join(index_dir, "blocks"),
-        columns=["term", "first_doc_id", "last_doc_id", "n", "max_tf",
-                 "dl_min", "ids_bin", "tfs_bin", "dls_bin"],
+        columns=cols,
         filters=[("term", "in", list(idfs))],
     )
     by_term: dict[str, list] = {}
@@ -130,13 +134,31 @@ def _search_local(index_dir: str, query: str, k: int,
         by_term.setdefault(rec["term"], []).append(rec)
     for t in by_term:
         by_term[t].sort(key=lambda r: r["first_doc_id"])
+    allowed = _allowed_local(index_dir, where)
+    if allowed is not None and not len(allowed):
+        return []  # predicate admits nothing: skip the walk
+    if mode == "phrase":
+        # Lucene PhraseQuery in SQL: every phrase term required; score =
+        # (Σ idf with multiplicity) · pf/(pf + K(dl)) — identical walk to
+        # IndexReader.search_phrase (shared _phrase_topk)
+        if any(t not in idfs or t not in by_term for t in terms):
+            return []
+        if any(r["pos_bin"] is None
+               for recs in by_term.values() for r in recs):
+            raise ValueError(
+                "not a positional index: rebuild with "
+                "build_index(positions=True) for phrase queries")
+        cursors_d = {
+            t: _Cursor(t, idfs[t], by_term[t], state["avgdl"])
+            for t in terms
+        }
+        idf_sum = sum(idfs[t] for t in toks)
+        return _phrase_topk(toks, cursors_d, idf_sum, k, state["avgdl"],
+                            deleted=state["tombstones"], allowed=allowed)
     cursors = [
         _Cursor(t, idfs[t], by_term[t], state["avgdl"])
         for t in sorted(idfs) if t in by_term
     ]
-    allowed = _allowed_local(index_dir, where)
-    if allowed is not None and not len(allowed):
-        return []  # predicate admits nothing: skip the walk
     if mode == "and":
         # n_required = EVERY query term (same contract as search_wand)
         return _and_topk(cursors, k, len(terms), deleted=state["tombstones"],
@@ -147,11 +169,13 @@ def _search_local(index_dir: str, query: str, k: int,
 
 def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
     """Register ``name(query, k[, mode[, where]])`` as a SQL table function
-    for ``index_dir`` — mode 'or' (default) or 'and' (strict +required, the
-    Solr ``+term`` surface in SQL); ``where`` is an optional fq visibility
-    predicate over the docstore (the Solr q+fq composition — relevance plus
-    a non-scoring filter), evaluated index-side on the worker exactly like
-    ``IndexReader.search(where=...)``.
+    for ``index_dir`` — mode 'or' (default), 'and' (strict +required, the
+    Solr ``+term`` surface in SQL), or 'phrase' (exact consecutive
+    sequence over a positional index — the Lucene ``"quoted phrase"``
+    surface; requires ``build_index(positions=True)``); ``where`` is an
+    optional fq visibility predicate over the docstore (the Solr q+fq
+    composition — relevance plus a non-scoring filter), evaluated
+    index-side on the worker exactly like ``IndexReader.search(where=...)``.
 
     Returns the registered UDTF handle. The index path is bound at
     registration time (SQL callers pass only query/k/mode/where)."""

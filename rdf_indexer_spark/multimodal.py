@@ -7,10 +7,12 @@ kernels, Arrow batch shapes — is real and tested. Decode status (r4):
   uncompressed 24-bit ``BI_RGB`` BMP images, PCM-16 WAV audio — parsed
   byte-for-byte (:func:`decode_ppm` / :func:`decode_bmp` /
   :func:`decode_wav`), plus nearest-neighbor resize + PPM re-encode —
-  and, since r4, baseline sequential JPEG (Huffman entropy decode +
-  dequant + vectorized IDCT, 4:4:4/4:2:2/4:2:0 — :mod:`.jpeg`).
-* STUBBED, clearly marked: the rest (progressive JPEG, PNG, MP3, video
-  frames) falls back to :func:`_decode_stub`, deterministic in the
+  baseline sequential JPEG since r4 (Huffman entropy decode + dequant +
+  vectorized IDCT, 4:4:4/4:2:2/4:2:0 — :mod:`.jpeg`), and non-interlaced
+  PNG since r5 (zlib inflate + the five scanline filters, all color
+  types, depths 1-16 — :mod:`.png`).
+* STUBBED, clearly marked: the rest (progressive JPEG, Adam7 PNG, MP3,
+  video frames) falls back to :func:`_decode_stub`, deterministic in the
   payload bytes, swappable for PIL/ffmpeg kernels on a real cluster.
 
 Layout convention (matches common lakehouse practice):
@@ -154,6 +156,10 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
                 from .jpeg import decode_jpeg  # pure numpy, r4
 
                 return decode_jpeg(payload).astype(np.float32) / 255.0
+            if payload.startswith(b"\x89PNG"):
+                from .png import decode_png  # pure numpy + zlib, r5
+
+                return decode_png(payload).astype(np.float32) / 255.0
         if kind == "audio" and payload.startswith(b"RIFF"):
             samples, _ = decode_wav(payload)
             return samples.reshape(-1)
@@ -163,7 +169,8 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for codecs with no in-container decoder (JPEG/PNG/MP3/...).
+    """STUB for codecs with no in-container decoder (progressive JPEG,
+    Adam7 PNG, MP3, video ...).
 
     Real deployment swaps this for PIL.Image.open / soundfile.read — the
     surrounding Arrow batching, schema, and partitioning do not change.

@@ -341,21 +341,25 @@ def q_text_size_windows(spark, sf):
     )
 
 
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def _index_for(spark, sf):
-    """Build (once per sf_dir) the real on-disk index over documents."""
+def _index_for(spark, sf, positional: bool = False):
+    """Build (once per sf_dir × positional flag) the real on-disk index
+    over documents; the positional variant additionally stores per-posting
+    token positions (phrase-query substrate, build.py positions=True)."""
     import tempfile
 
     from .index.build import build_index
 
-    if sf not in _INDEX_CACHE:
+    key = (sf, positional)
+    if key not in _INDEX_CACHE:
         d = tempfile.mkdtemp(prefix="qidx_")
         docs = load(spark, sf, "documents").select("doc_id", "text")
-        build_index(spark, docs, d, num_buckets=4, resume=False)
-        _INDEX_CACHE[sf] = d
-    return _INDEX_CACHE[sf]
+        build_index(spark, docs, d, num_buckets=4, resume=False,
+                    positions=positional)
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
 
 
 def q_bm25_topk_wand(spark, sf):
@@ -396,6 +400,73 @@ def q_bm25_topk_and(spark, sf):
     hits = reader.search_wand("table query filter", 10, mode="and")
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+PHRASE_QUERY = "table hash"
+
+
+def q_bm25_topk_phrase(spark, sf):
+    """Exact-phrase BM25 top-10 over the POSITIONAL index (Q-9 extension,
+    VERDICT r4 item 4): Lucene PhraseQuery semantics — doc matches iff the
+    consecutive token sequence occurs, pf = occurrence count, score =
+    (Σ idf of the phrase terms) · pf/(pf + K(dl)). Oracle: a from-scratch
+    DuckDB positional restatement (unnest + generate_subscripts, slot-
+    shifted position self-join)."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf, positional=True))
+    hits = reader.search_phrase(PHRASE_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_after_update(spark, sf):
+    """Index mutation under the oracle gate (r5): ``update_documents``
+    (delete+append composed — Lucene ``updateDocument`` semantics, the
+    reference's RESOLVE re-post loop, RDFIndexer.java:453-562) followed by
+    a BM25 top-10 on the mutated index. The first 5 docs get new text
+    (original + two marker tokens); the query mixes the marker with
+    ordinary terms, so correct results REQUIRE both the tombstones (old
+    versions must not surface) and the appended postings (new versions
+    must score with the marker's idf).
+
+    Oracle: from-scratch SQL BM25 over the two-version corpus — old
+    versions kept in the statistics but excluded from results (the
+    documented Lucene deleted-docs posture). Hit ids are mapped back to
+    the stable original ids (updated docs live under fresh dense ids
+    index-side) so the compare is id-assignment-independent."""
+    import tempfile
+
+    from .index.bm25 import IndexReader
+    from .index.build import build_index
+    from .index.docids import assign_doc_ids
+    from .index.maintain import update_documents
+
+    d = tempfile.mkdtemp(prefix="qidx_upd_")
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    n0 = docs.count()
+    upd = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" updatedmarker refreshed")).alias("text"),
+    )
+    build_index(spark, docs, d, num_buckets=4, resume=False)
+    update_documents(spark, upd, d, num_buckets=4)
+    reader = IndexReader(spark, d)
+    hits = reader.search_wand("updatedmarker window join", 10)
+    # fresh-id → original-id mapping, recomputed exactly as the mutation
+    # assigned it (assign_doc_ids is deterministic in the key set)
+    mapping = {
+        int(r["_new_id"]) + n0: int(r["_old_id"])
+        for r in assign_doc_ids(
+            upd.select(F.col("doc_id").alias("_old_id")),
+            ["_old_id"], out_col="_new_id").collect()
+    }
+    rows = [(mapping.get(int(doc), int(doc)), float(s)) for doc, s in hits]
+    return spark.createDataFrame(
+        rows, "doc_id long, score double"
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 

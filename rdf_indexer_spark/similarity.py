@@ -231,13 +231,51 @@ def _mean_recall(got: DataFrame, want: DataFrame):
     return per_q.agg(F.avg("r")).collect()[0][0]
 
 
+def _timed_recall(got: DataFrame, want: DataFrame, oracle_given: bool,
+                  timings: dict | None):
+    """Shared recall evaluation with optional component timing (VERDICT r4
+    item 5: the recall bench jobs were oracle-dominated and unattributed).
+    With ``timings``, materialize the index path and — only when this call
+    computed it — the brute-force oracle separately, then time the recall
+    join; keys ``index_path`` / ``oracle`` / ``recall_join`` accumulate."""
+    import time as _time
+
+    if timings is None:
+        avg = _mean_recall(got, want)
+        return float(avg) if avg is not None else 0.0
+
+    def _tick(name, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        timings[name] = timings.get(name, 0.0) + (_time.perf_counter() - t0)
+        return out
+
+    got = got.persist()
+    _tick("index_path", got.count)
+    if not oracle_given:
+        want = want.persist()
+        _tick("oracle", want.count)
+    avg = _tick("recall_join", lambda: _mean_recall(got, want))
+    got.unpersist()
+    if not oracle_given:
+        want.unpersist()
+    return float(avg) if avg is not None else 0.0
+
+
 def lsh_recall_at_k(
     df: DataFrame, n_queries: int = 50, k: int = 10,
     n_tables: int = 4, n_bits: int = 12,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    oracle: DataFrame | None = None, timings: dict | None = None,
 ) -> float:
     """Mean recall@k of LSH vs exact top-k over the first ``n_queries``
-    vectors as queries — TWO jobs total (batch LSH + batch brute force)."""
+    vectors as queries — TWO jobs total (batch LSH + batch brute force).
+
+    ``oracle``: a precomputed exact top-k relation (query_id, vec_id, rank
+    ≤ k over the same first-``n_queries`` query set — e.g. one
+    :func:`cosine_topk_batch` shared across several recall calls) so the
+    brute-force pass isn't re-run per call. ``timings``: see
+    :func:`_timed_recall`."""
     rows = (
         df.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
@@ -256,9 +294,9 @@ def lsh_recall_at_k(
     idx = lsh_index(df, dim=dim, n_tables=n_tables, n_bits=n_bits,
                     id_col=id_col, vec_col=vec_col)
     got = lsh_topk_batch(idx, queries, dim, k, n_tables, n_bits)
-    want = cosine_topk_batch(df, queries_df, k, id_col, vec_col)
-    avg = _mean_recall(got, want)
-    return float(avg) if avg is not None else 0.0
+    want = oracle if oracle is not None else cosine_topk_batch(
+        df, queries_df, k, id_col, vec_col)
+    return _timed_recall(got, want, oracle is not None, timings)
 
 
 # ---------------------------------------------------------------------------
@@ -395,11 +433,15 @@ def ivf_recall_at_k(
     n_centroids: int = 16, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None, index_df: DataFrame | None = None,
+    oracle: DataFrame | None = None, timings: dict | None = None,
 ) -> dict:
     """Mean recall@k of IVF-nprobe vs exact top-k over the first
     ``n_queries`` vectors, plus the mean probed fraction of the corpus —
     the recall/cost point that justifies the nprobe knob. Pass
-    ``centroids``/``index_df`` to reuse a built index across nprobe values.
+    ``centroids``/``index_df`` to reuse a built index across nprobe values
+    and ``oracle`` to reuse one exact-top-k pass (otherwise EVERY call
+    re-runs the brute-force oracle — the r4 bench paid that 3×);
+    ``timings`` as in :func:`_timed_recall`.
     Returns {"recall": float, "probed_fraction": float}."""
     rows = (
         df.filter(F.col(id_col) < n_queries)
@@ -434,10 +476,11 @@ def ivf_recall_at_k(
         [(q, v) for q, v in queries], "query_id int, qvec array<double>"
     )
     got = ivf_topk_batch(index_df, centroids, queries, k, nprobe)
-    want = cosine_topk_batch(df, queries_df, k, id_col, vec_col)
-    avg = _mean_recall(got, want)
+    want = oracle if oracle is not None else cosine_topk_batch(
+        df, queries_df, k, id_col, vec_col)
+    avg = _timed_recall(got, want, oracle is not None, timings)
     return {
-        "recall": round(float(avg), 4) if avg is not None else 0.0,
+        "recall": round(avg, 4),
         "probed_fraction": round(probed_fraction, 4),
     }
 

@@ -29,7 +29,15 @@ def main(argv: list[str] | None = None) -> int:
                          "preferring distributed at scale")
     ap.add_argument("--exhaustive", action="store_true",
                     help="use the declarative DataFrame scorer instead")
+    ap.add_argument("--phrase", action="store_true",
+                    help="exact-phrase ranking (Lucene PhraseQuery slop 0);"
+                         " requires an index built with positions=True")
     args = ap.parse_args(argv)
+    if args.phrase and (args.exhaustive or args.distributed is not None):
+        ap.error("--phrase cannot be combined with --exhaustive/"
+                 "--distributed (the phrase walk is its own path)")
+    if args.phrase and len(args.query) > 1:
+        ap.error("--phrase cannot be combined with multiple --query")
     if len(args.query) > 1:
         # batch mode routes through search_many, which has no
         # exhaustive/driver-walk variant — reject rather than silently
@@ -67,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"queries": args.query, "k": args.k, "hits": by_q}))
         return 0
     query = args.query[0]
+    if args.phrase:
+        hits = reader.search_phrase(query, args.k)
+        print(json.dumps({
+            "query": query, "k": args.k, "mode": "phrase",
+            "hits": [[int(d), float(s)] for d, s in hits],
+        }))
+        return 0
     if args.exhaustive:
         hits = [(r["doc_id"], r["score"])
                 for r in reader.score_exhaustive(query, args.k).collect()]

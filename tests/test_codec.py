@@ -89,7 +89,7 @@ def test_pack_batch_bit_identical_to_per_group_pack():
             want_rows.append((part, term, seq, len(bi), int(bi[0]),
                               int(bi[-1]), int(bt.max()), int(bd.min()),
                               int(bt.sum()), len(ib) + len(tb) + len(db),
-                              ib, tb, db))
+                              ib, tb, db, None))
     want = pd.DataFrame(want_rows, columns=list(got.columns))
     want = want.sort_values(["part", "term", "seq"]).reset_index(drop=True)
     assert len(got) == len(want)
@@ -98,3 +98,101 @@ def test_pack_batch_bit_identical_to_per_group_pack():
         assert (got[c].values == want[c].values).all(), c
     for c in ["ids_bin", "tfs_bin", "dls_bin"]:
         assert all(bytes(a) == bytes(b) for a, b in zip(got[c], want[c])), c
+
+@given(
+    st.lists(st.lists(st.integers(0, 2**20), min_size=1, max_size=12),
+             min_size=0, max_size=60),
+)
+@settings(max_examples=100, deadline=None)
+def test_segmented_positions_roundtrip(segments):
+    """delta_encode_segmented + varbyte ↔ unpack_positions is exact for any
+    list of sorted per-posting position lists (segment bounds implied by
+    tf = len(segment), the on-disk layout)."""
+    from rdf_indexer_spark.index.codec import (
+        delta_encode_segmented, unpack_positions,
+    )
+
+    segments = [sorted(set(s)) for s in segments if s]
+    tfs = np.array([len(s) for s in segments], dtype=np.int64)
+    flat = (np.concatenate([np.array(s, dtype=np.int64) for s in segments])
+            if segments else np.array([], dtype=np.int64))
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    enc = varbyte_encode(delta_encode_segmented(flat, starts).astype(np.uint64))
+    got_flat, got_offs = unpack_positions(enc, tfs)
+    assert list(got_flat) == list(flat)
+    assert list(got_offs) == list(np.concatenate(([0], np.cumsum(tfs))))
+
+
+def test_segmented_positions_tf_mismatch_rejected():
+    from rdf_indexer_spark.index.codec import unpack_positions
+
+    enc = varbyte_encode(np.array([3, 1, 5], dtype=np.uint64))
+    with np.testing.assert_raises(ValueError):
+        unpack_positions(enc, np.array([2], dtype=np.int64))  # tf sum 2 != 3
+
+
+def test_pack_batch_positional_bit_identical():
+    """Positional variant of the bit-identity test: _pack_stream with a
+    `positions` column must emit, per block, exactly the per-group
+    varbyte(delta-with-reset) encoding of that block's position lists —
+    including groups that straddle Arrow batch boundaries — and leave the
+    CORE columns (incl. bin_bytes) byte-identical to the non-positional
+    packer."""
+    import pandas as pd
+
+    from rdf_indexer_spark.index.build import BLOCK_SIZE, _pack_stream
+    from rdf_indexer_spark.index.codec import (
+        delta_encode_segmented, varbyte_encode,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in range(120):
+        part = int(rng.integers(0, 4))
+        term = f"t{int(rng.integers(0, 60)):03d}_{g}"
+        ln = int(rng.integers(1, 3 * BLOCK_SIZE))
+        ids = np.sort(rng.choice(10**6, size=ln, replace=False))
+        for d in ids:
+            tf = int(rng.integers(1, 6))
+            pos = np.sort(rng.choice(5000, size=tf, replace=False))
+            rows.append((part, term, int(d), tf, int(rng.integers(1, 500)),
+                         pos.tolist()))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    pdf = pd.DataFrame(
+        rows, columns=["part", "term", "doc_id", "tf", "dl", "positions"])
+    cuts = [0, 499, 2003, len(pdf)]
+    batches = [pdf.iloc[a:b].reset_index(drop=True)
+               for a, b in zip(cuts, cuts[1:]) if b > a]
+    got = pd.concat(list(_pack_stream(iter(batches))), ignore_index=True)
+    got = got.sort_values(["part", "term", "seq"]).reset_index(drop=True)
+
+    # non-positional packer on the same rows: core columns must not move
+    flat = pd.concat(
+        list(_pack_stream(iter([pdf.drop(columns=["positions"])]))),
+        ignore_index=True).sort_values(
+            ["part", "term", "seq"]).reset_index(drop=True)
+    for c in ["part", "term", "seq", "n", "first_doc_id", "last_doc_id",
+              "max_tf", "dl_min", "tf_sum", "bin_bytes"]:
+        assert (got[c].values == flat[c].values).all(), c
+    for c in ["ids_bin", "tfs_bin", "dls_bin"]:
+        assert all(bytes(a) == bytes(b)
+                   for a, b in zip(got[c], flat[c])), c
+    assert flat["pos_bin"].isna().all()
+
+    # reference pos_bin: per (part, term) group, per block, segmented
+    # delta + varbyte over that block's concatenated position lists
+    want = {}
+    for (part, term), grp in pdf.groupby(["part", "term"], sort=True):
+        plists = list(grp["positions"].values)
+        for seq, start in enumerate(range(0, len(grp), BLOCK_SIZE)):
+            blk = plists[start: start + BLOCK_SIZE]
+            tfs = np.array([len(p) for p in blk], dtype=np.int64)
+            bflat = np.concatenate(
+                [np.array(p, dtype=np.int64) for p in blk])
+            starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            want[(part, term, seq)] = bytes(varbyte_encode(
+                delta_encode_segmented(bflat, starts).astype(np.uint64)))
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert bytes(r["pos_bin"]) == want[
+            (r["part"], r["term"], r["seq"])], (r["part"], r["term"], r["seq"])

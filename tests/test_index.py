@@ -562,3 +562,228 @@ def test_term_stats_null_bytes_survive(spark, index_dir, monkeypatch):
     assert isinstance(stats["the"]["bytes"], int)
     out = reader.search("the alpha", 5)
     assert out.count() == 5
+
+
+# -- phrase queries over the positional index (r5, VERDICT r4 item 4) -------
+
+PHRASES = [
+    "alpha beta",
+    "needle the",
+    "beta gamma",
+    "the the",            # duplicated term: slots share one cursor
+    "alpha beta gamma",
+    "zzznothing alpha",   # absent required term → no hits
+]
+
+# phrases that MUST return hits on the planted corpus — guards the
+# identity test against passing vacuously ([] == []), which is exactly
+# how a broken exhaustive twin slipped past the first draft of this test
+NONEMPTY_PHRASES = {"alpha beta", "needle the", "beta gamma",
+                    "the the", "alpha beta gamma"}
+
+
+def _phrase_docs(n=400):
+    """The synth corpus with deterministic PLANTED phrase occurrences —
+    random Zipfian text almost never produces a specific adjacent pair, so
+    without planting every phrase test is vacuous."""
+    rows = []
+    for i, t in _synth_docs(n):
+        if i % 13 == 0:
+            t += " alpha beta gamma"
+        if i % 29 == 0:
+            t += " the the"
+        if i % 41 == 0:
+            t += " needle the"
+        rows.append((i, t))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(spark, tmp_path_factory):
+    from rdf_indexer_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("posidx"))
+    docs = spark.createDataFrame(_phrase_docs(), ["doc_id", "text"])
+    build_index(spark, docs, out, num_buckets=3, resume=False, positions=True)
+    return out
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_walk_equals_exhaustive(spark, pos_index_dir, phrase):
+    """The position-list leapfrog (search_phrase) is rank- and
+    score-identical to the declarative slot-shifted-join twin
+    (score_phrase_exhaustive), and every hit really contains the
+    consecutive token sequence in the source text."""
+    from rdf_indexer_spark.analyzer import tokenize
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    walk = reader.search_phrase(phrase, 15)
+    ex = [(r["doc_id"], r["score"])
+          for r in reader.score_phrase_exhaustive(phrase, 15).collect()]
+    assert [d for d, _ in ex] == [d for d, _ in walk]
+    for (d1, s1), (d2, s2) in zip(ex, walk):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+    if phrase in NONEMPTY_PHRASES:
+        assert walk, f"planted phrase {phrase!r} found no hits"
+
+    # ground truth straight from the corpus: the hit set (not just the
+    # top-k members) must equal exact consecutive containment
+    terms = tokenize(phrase)
+    toks = {i: tokenize(t) for i, t in _phrase_docs()}
+    want = {
+        d for d, tl in toks.items()
+        if any(tl[i:i + len(terms)] == terms
+               for i in range(len(tl) - len(terms) + 1))
+    }
+    assert {d for d, _ in reader.search_phrase(phrase, 10_000)} == want
+
+
+def test_phrase_hits_subset_of_and_with_phrase_scoring(spark, pos_index_dir):
+    """Phrase hits ⊆ conjunctive hits on the same terms, and the phrase
+    score uses pf ≤ min tf (so never exceeds the idf_sum-weighted AND-style
+    saturation at the same doc)."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    ph = reader.search_phrase("alpha beta", 10_000)
+    and_docs = {d for d, _ in reader.search_wand(
+        "alpha beta", 10_000, mode="and")}
+    assert {d for d, _ in ph} <= and_docs
+
+
+def test_phrase_semantics_tiny(spark, tmp_path):
+    """Hand-built corpus with known positions: pf counting, order
+    sensitivity, overlapping matches, and the exact Lucene-shaped score
+    (Σ idf with multiplicity) · pf/(pf + K(dl))."""
+    import math
+
+    from rdf_indexer_spark.index.bm25 import B, K1, IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    corpus = [
+        (0, "a b c a b"),      # "a b" pf=2
+        (1, "b a"),            # reversed only
+        (2, "a b a b a b"),    # pf=3
+        (3, "c c c"),          # no a/b
+        (4, "a a a"),          # "a a" pf=2 (overlapping starts at 0,1)
+    ]
+    out = str(tmp_path / "tiny")
+    build_index(spark, spark.createDataFrame(corpus, ["doc_id", "text"]),
+                out, num_buckets=1, resume=False, positions=True)
+    reader = IndexReader(spark, out)
+
+    hits = dict(reader.search_phrase("a b", 10))
+    assert set(hits) == {0, 2}
+    n = 5
+    avgdl = (5 + 2 + 6 + 3 + 3) / 5
+    stats = reader.term_stats(["a", "b"])
+    idf = {t: math.log(1 + (n - stats[t]["df"] + 0.5) / (stats[t]["df"] + 0.5))
+           for t in ("a", "b")}
+
+    def want(pf, dl):
+        return (idf["a"] + idf["b"]) * pf / (
+            pf + K1 * (1 - B + B * dl / avgdl))
+
+    assert hits[0] == pytest.approx(want(2, 5), rel=1e-9)
+    assert hits[2] == pytest.approx(want(3, 6), rel=1e-9)
+
+    # order matters: "b a" matches docs 0 (pos 1→... no: b@1,a@3? "a b c a b"
+    # = a0 b1 c2 a3 b4 → "b a": b@1,a? pos2 is c — no; doc1 b0 a1 yes;
+    # doc2 a0 b1 a2 b3 a4 b5 → b1a2, b3a4 → pf=2
+    rev = dict(reader.search_phrase("b a", 10))
+    assert set(rev) == {1, 2}
+
+    # duplicated-term phrase: overlapping starts count
+    aa = dict(reader.search_phrase("a a", 10))
+    assert set(aa) == {4}
+    assert aa[4] == pytest.approx(
+        2 * idf["a"] * 2 / (2 + K1 * (1 - B + B * 3 / avgdl)), rel=1e-9)
+
+    # single-term phrase degenerates to tf scoring of that term
+    single = dict(reader.search_phrase("c", 10))
+    assert set(single) == {0, 3}
+
+
+def test_phrase_filtered_and_tombstoned(spark, tmp_path):
+    """fq `where` composes with phrase search (scores unchanged, hits
+    filtered), and tombstoned docs vanish from both the walk and the
+    exhaustive twin."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import delete_docs
+
+    out = str(tmp_path / "idx")
+    docs = spark.createDataFrame(_phrase_docs(120), ["doc_id", "text"])
+    build_index(spark, docs, out, num_buckets=2, resume=False, positions=True)
+    reader = IndexReader(spark, out)
+
+    full = dict(reader.search_phrase("alpha beta", 10_000))
+    assert full  # planted (docs 0, 13, ... carry "alpha beta gamma")
+    where = "doc_id % 2 = 0"
+    filt = reader.search_phrase("alpha beta", 10_000, where=where)
+    assert all(d % 2 == 0 for d, _ in filt)
+    for d, s in filt:
+        assert s == full[d]
+    ex = [(r["doc_id"], r["score"]) for r in
+          reader.score_phrase_exhaustive(
+              "alpha beta", None, where=where).collect()]
+    assert [d for d, _ in ex] == [d for d, _ in filt]
+
+    victims = [d for d in full][:2]
+    delete_docs(spark, out, victims)
+    r2 = IndexReader(spark, out)
+    after = dict(r2.search_phrase("alpha beta", 10_000))
+    assert set(after) == set(full) - set(victims)
+    ex2 = {r["doc_id"] for r in
+           r2.score_phrase_exhaustive("alpha beta", None).collect()}
+    assert ex2 == set(after)
+
+
+def test_phrase_requires_positional_index(spark, index_dir):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError, match="positional"):
+        reader.search_phrase("alpha beta", 10)
+    with pytest.raises(ValueError, match="positional"):
+        reader.score_phrase_exhaustive("alpha beta", 10).count()
+
+
+def test_sql_surface_phrase_identity(spark, pos_index_dir):
+    """mode='phrase' on the SQL surface ≡ IndexReader.search_phrase
+    (shared _phrase_topk walk), composes with fq, and fails clearly on a
+    bag-of-words index."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, pos_index_dir, name="bm25_search_pos")
+    reader = IndexReader(spark, pos_index_dir)
+    for phrase in ("alpha beta", "the the", "alpha beta gamma"):
+        want = reader.search_phrase(phrase, 10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in spark.sql(
+                f"SELECT * FROM bm25_search_pos('{phrase}', 10, 'phrase') "
+                "ORDER BY rank").collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], phrase
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, rel=1e-9)
+        assert want, phrase  # planted: non-vacuous
+    # q+fq composition in phrase mode
+    want_f = reader.search_phrase("alpha beta", 10, where="doc_id % 2 = 0")
+    got_f = [
+        (r["doc_id"], r["score"])
+        for r in spark.sql(
+            "SELECT * FROM bm25_search_pos('alpha beta', 10, 'phrase', "
+            "'doc_id % 2 = 0') ORDER BY rank").collect()
+    ]
+    assert [d for d, _ in got_f] == [d for d, _ in want_f]
+
+
+def test_sql_surface_phrase_requires_positional(spark, index_dir):
+    from rdf_indexer_spark.index.sqlsurface import _search_local
+
+    with pytest.raises(ValueError, match="positional"):
+        _search_local(index_dir, "alpha beta", 10, mode="phrase")

@@ -160,3 +160,158 @@ def test_large_tombstone_set_broadcast_not_closure(spark, tmp_path):
     sql_hits = [(r["doc_id"], r["score"]) for r in spark.sql(
         "SELECT * FROM bm25_search_tomb('needle', 50)").orderBy("rank").collect()]
     assert sql_hits == hits
+
+
+def test_update_equals_union_build_plus_tombstones(spark, tmp_path, corpus):
+    """update_documents ≡ one-shot build over the union corpus (old docs +
+    updated versions under the same new ids) with the old ids tombstoned —
+    rank AND score identity on every query path (VERDICT r4 item 7)."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.docids import assign_doc_ids
+    from rdf_indexer_spark.index.maintain import update_documents
+    from rdf_indexer_spark.index.build import build_index
+
+    a, _ = corpus  # ids 0..159
+    upd = [(5, "alpha beta refreshed needle prose"),
+           (41, "the the gamma refreshed"),
+           (100, "w1 w2 w3 refreshed needle")]
+
+    idx = str(tmp_path / "upd")
+    build_index(spark, spark.createDataFrame(a, ["doc_id", "text"]),
+                idx, num_buckets=3, resume=False)
+    update_documents(
+        spark, spark.createDataFrame(upd, ["doc_id", "text"]), idx,
+        num_buckets=2)
+
+    # reference: same new-id assignment (deterministic), union build,
+    # tombstone the replaced ids
+    from rdf_indexer_spark.index.maintain import delete_docs
+    mapping = {
+        r["_old_id"]: 160 + r["_new_id"]
+        for r in assign_doc_ids(
+            spark.createDataFrame(upd, ["_old_id", "text"]),
+            ["_old_id"], out_col="_new_id").collect()
+    }
+    union = a + [(mapping[i], t) for i, t in upd]
+    ref = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(union, ["doc_id", "text"]),
+                ref, num_buckets=3, resume=False)
+    delete_docs(spark, ref, [i for i, _ in upd])
+
+    r_upd, r_ref = IndexReader(spark, idx), IndexReader(spark, ref)
+    assert r_upd.n_docs == r_ref.n_docs == 163
+    assert r_upd.avgdl == pytest.approx(r_ref.avgdl, rel=1e-12)
+    for q in QUERIES + ["refreshed", "refreshed needle"]:
+        w = r_upd.search_wand(q, 25)
+        assert w == r_ref.search_wand(q, 25), q
+        assert w == r_upd.search_wand_distributed(q, 25), q
+        ex = [(r["doc_id"], r["score"])
+              for r in r_upd.score_exhaustive(q, 25).collect()]
+        assert [d for d, _ in ex] == [d for d, _ in w]
+        for (d1, s1), (d2, s2) in zip(ex, w):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+    # old versions are gone on every path; new content is served
+    old_ids = {i for i, _ in upd}
+    for q in ("refreshed", "needle"):
+        assert not old_ids & {d for d, _ in r_upd.search_wand(q, 163)}
+    assert {d for d, _ in r_upd.search_wand("refreshed", 10)} == set(
+        mapping.values())
+
+    # SQL surface sees the update too
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+    register_sql_surface(spark, idx)
+    got = [(r["doc_id"], r["score"]) for r in
+           spark.sql("SELECT * FROM bm25_search('refreshed', 10)").collect()]
+    assert got == r_upd.search_wand("refreshed", 10)
+
+
+def test_update_validates_ids(spark, tmp_path, corpus):
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import update_documents
+
+    a, _ = corpus
+    idx = str(tmp_path / "updbad")
+    build_index(spark, spark.createDataFrame(a[:40], ["doc_id", "text"]),
+                idx, num_buckets=2, resume=False)
+    with pytest.raises(ValueError, match="unknown doc_id"):
+        update_documents(
+            spark, spark.createDataFrame([(999, "x")], ["doc_id", "text"]),
+            idx)
+    with pytest.raises(ValueError, match="duplicate"):
+        update_documents(
+            spark,
+            spark.createDataFrame([(3, "x"), (3, "y")], ["doc_id", "text"]),
+            idx)
+
+
+def test_chained_update_of_updated_doc(spark, tmp_path, corpus):
+    """Updating a doc whose current version itself came from an update:
+    the second update targets the NEW id; both stale versions stay
+    tombstoned and only the final text is served."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import update_documents
+
+    a, _ = corpus
+    idx = str(tmp_path / "chain")
+    build_index(spark, spark.createDataFrame(a[:50], ["doc_id", "text"]),
+                idx, num_buckets=2, resume=False)
+    update_documents(
+        spark, spark.createDataFrame([(7, "version two unique7")],
+                                     ["doc_id", "text"]), idx, num_buckets=1)
+    r = IndexReader(spark, idx)
+    (v2_id, _), = r.search_wand("unique7", 5)
+    assert v2_id == 50
+    update_documents(
+        spark, spark.createDataFrame([(v2_id, "version three unique7")],
+                                     ["doc_id", "text"]), idx, num_buckets=1)
+    r = IndexReader(spark, idx)
+    hits = r.search_wand("unique7", 5)
+    assert [d for d, _ in hits] == [51]
+    assert sorted(r.tombstones) == [7, 50]
+    assert r.search_wand_distributed("unique7", 5) == hits
+
+
+def test_append_keeps_positional_index_positional(spark, tmp_path, corpus):
+    """append_documents auto-detects a positional index (real pos_bin
+    payloads) and writes appended buckets positionally — phrase queries
+    over the grown index ≡ a one-shot positional build over the union,
+    and planted phrases in the APPENDED docs are found."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import append_documents
+
+    a, b = corpus
+    # plant the phrase in docs from BOTH sides so hits must span the append
+    a = [(i, t + " alpha beta gamma") if i % 37 == 0 else (i, t)
+         for i, t in a]
+    b = [(i, t + " alpha beta gamma") if i % 37 == 0 else (i, t)
+         for i, t in b]
+
+    one_shot = str(tmp_path / "oneshot_pos")
+    build_index(spark, spark.createDataFrame(a + b, ["doc_id", "text"]),
+                one_shot, num_buckets=3, resume=False, positions=True)
+
+    incremental = str(tmp_path / "incr_pos")
+    build_index(spark, spark.createDataFrame(a, ["doc_id", "text"]),
+                incremental, num_buckets=3, resume=False, positions=True)
+    append_documents(spark, spark.createDataFrame(b, ["doc_id", "text"]),
+                     incremental, num_buckets=2)
+
+    r1, r2 = IndexReader(spark, one_shot), IndexReader(spark, incremental)
+    for phrase in ("alpha beta", "beta gamma", "alpha beta gamma"):
+        w1 = r1.search_phrase(phrase, 10_000)
+        w2 = r2.search_phrase(phrase, 10_000)
+        assert [d for d, _ in w1] == [d for d, _ in w2], phrase
+        for (d1, s1), (d2, s2) in zip(w1, w2):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        assert any(d >= 160 for d, _ in w2), f"{phrase}: no appended hit"
+    # bag-of-words append onto a bag-of-words index stays flat (no
+    # accidental positional flip) — and phrase queries refuse cleanly
+    flat = str(tmp_path / "flat")
+    build_index(spark, spark.createDataFrame(a, ["doc_id", "text"]),
+                flat, num_buckets=2, resume=False)
+    append_documents(spark, spark.createDataFrame(b, ["doc_id", "text"]),
+                     flat, num_buckets=2)
+    with pytest.raises(ValueError, match="positional"):
+        IndexReader(spark, flat).search_phrase("alpha beta", 5)

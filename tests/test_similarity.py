@@ -158,3 +158,50 @@ def test_mean_recall_counts_missing_queries_as_zero(spark):
         [(0, 1), (0, 2), (1, 3)], "query_id int, vec_id long"
     )
     assert abs(float(_mean_recall(got2, want)) - 0.75) < 1e-9
+
+
+def test_recall_timing_split_and_oracle_reuse(spark):
+    """VERDICT r4 item 5: recall calls can (a) report index-path vs oracle
+    vs recall-join component timings and (b) reuse one precomputed exact
+    oracle across calls — with IDENTICAL recall either way."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.similarity import (
+        cosine_topk_batch, ivf_index, ivf_recall_at_k, kmeans_centroids,
+        lsh_recall_at_k, synthetic_clustered_embeddings,
+    )
+
+    emb = synthetic_clustered_embeddings(spark, n=400, dim=16, n_clusters=8)
+    q_rows = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", "embedding").collect()
+    queries_df = emb.sparkSession.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in q_rows],
+        "query_id int, qvec array<double>",
+    )
+    oracle = cosine_topk_batch(emb, queries_df, 5).persist()
+    oracle.count()
+
+    t_own = {}
+    r_own = lsh_recall_at_k(emb, n_queries=8, k=5, n_tables=4, n_bits=6,
+                            timings=t_own)
+    assert {"index_path", "oracle", "recall_join"} <= set(t_own)
+    assert all(v > 0 for v in t_own.values())
+
+    t_shared = {}
+    r_shared = lsh_recall_at_k(emb, n_queries=8, k=5, n_tables=4, n_bits=6,
+                               oracle=oracle, timings=t_shared)
+    assert r_shared == r_own
+    assert "oracle" not in t_shared  # caller owns the oracle pass
+
+    cents = kmeans_centroids(emb, dim=16, n_centroids=4, sample=100)
+    iv = ivf_index(emb, cents)
+    a = ivf_recall_at_k(emb, n_queries=8, k=5, nprobe=4,
+                        centroids=cents, index_df=iv)
+    t_ivf = {}
+    b = ivf_recall_at_k(emb, n_queries=8, k=5, nprobe=4,
+                        centroids=cents, index_df=iv,
+                        oracle=oracle, timings=t_ivf)
+    assert a == b
+    assert "oracle" not in t_ivf and "index_path" in t_ivf
+    oracle.unpersist()
