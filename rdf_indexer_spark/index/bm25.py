@@ -269,6 +269,7 @@ class IndexReader:
 
     def search_phrase(
         self, phrase: str, k: int = 10, *, where: str | None = None,
+        distributed: bool | None = None,
     ) -> list[tuple[int, float]]:
         """Exact-phrase top-k over a POSITIONAL index (Q-9 extension; the
         capability delta VERDICT r4 ranked #2 — Lucene phrase queries work
@@ -284,11 +285,21 @@ class IndexReader:
         (score desc, doc_id asc); tombstones + optional fq ``where`` as in
         :meth:`search_wand`.
 
-        Plan shape: the conjunctive leapfrog of :func:`_and_topk` over the
-        DISTINCT terms' cursors (docs failing the AND intersection never
-        decode positions), then a position-list intersection
-        (:func:`_phrase_freq`) only at aligned docs — positions stream
-        lazily per block, nothing but the phrase terms' blocks is read."""
+        ``distributed=None`` auto-routes like :meth:`search`: the per-part
+        executor walk (:meth:`search_phrase_distributed`) unless the
+        estimated fetch volume is driver-walk small; filtered queries
+        always route distributed so the fq set stays executor-side. (The
+        byte estimate is the CORE payload — a positional fetch is ~1.2×
+        that, so routing leans driver slightly; acceptable, the threshold
+        is an order-of-magnitude knob.) The route taken is recorded in
+        ``self.last_path``.
+
+        Plan shape (driver walk): the conjunctive leapfrog of
+        :func:`_and_topk` over the DISTINCT terms' cursors (docs failing
+        the AND intersection never decode positions), then a position-list
+        intersection (:func:`_phrase_freq`) only at aligned docs —
+        positions stream lazily per block, nothing but the phrase terms'
+        blocks is read."""
         terms = tokenize(phrase)  # in order, duplicates kept
         if not terms or k <= 0:
             return []
@@ -296,36 +307,148 @@ class IndexReader:
         stats = self.term_stats(uniq)
         if any(t not in stats for t in uniq):
             return []
-        idf_sum = sum(self._idf(stats[t]["df"]) for t in terms)
+        idfs = {t: self._idf(stats[t]["df"]) for t in uniq}
+        idf_sum = sum(idfs[t] for t in terms)
+        if distributed is None:
+            if where is not None:
+                distributed = True
+            elif all(s["bytes"] is not None for s in stats.values()):
+                distributed = (sum(s["bytes"] for s in stats.values())
+                               > self.DISTRIBUTED_FETCH_BYTES)
+            else:
+                distributed = (sum(s["df"] for s in stats.values())
+                               > self.DISTRIBUTED_POSTINGS_THRESHOLD)
+        self.last_path = "distributed" if distributed else "driver"
+        if distributed:
+            return self._phrase_walk_distributed(
+                terms, uniq, idfs, idf_sum, k, where)
         allowed = self.allowed_ids(where)
         blocks = self.fetch_blocks(uniq, with_positions=True)
         if any(t not in blocks for t in uniq):
             return []
         cursors = {
-            t: _Cursor(t, self._idf(stats[t]["df"]), blocks[t], self.avgdl)
+            t: _Cursor(t, idfs[t], blocks[t], self.avgdl)
             for t in uniq
         }
         return _phrase_topk(terms, cursors, idf_sum, k, self.avgdl,
                             deleted=self.tombstones, allowed=allowed)
+
+    def search_phrase_distributed(
+        self, phrase: str, k: int = 10, *, where: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exact-phrase top-k with the position-list leapfrog ON THE
+        EXECUTORS — the cluster-scale phrase shape, mirroring
+        :meth:`search_wand_distributed`: one ``applyInPandas`` group per
+        index ``part`` bucket (disjoint doc-id ranges, so phrase matching
+        is bucket-local), exact local top-k per bucket, driver merge of
+        ≤ parts·k rows. ``where`` is evaluated executor-side via the same
+        part-cogrouped docstore scan. Rank- and score-identical to the
+        driver walk (asserted in tests)."""
+        terms = tokenize(phrase)
+        if not terms or k <= 0:
+            return []
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        if any(t not in stats for t in uniq):
+            return []
+        idfs = {t: self._idf(stats[t]["df"]) for t in uniq}
+        idf_sum = sum(idfs[t] for t in terms)
+        return self._phrase_walk_distributed(terms, uniq, idfs, idf_sum,
+                                             k, where)
+
+    def _require_positional(self) -> None:
+        """Raise unless the blocks carry real positional payloads (cached
+        per reader — one limit-1 metadata probe, then free)."""
+        if getattr(self, "_positional", None) is None:
+            blocks = self.spark.read.parquet(self.paths.blocks)
+            if "pos_bin" not in blocks.columns:
+                self._positional = False
+            else:
+                # an index is uniformly positional or not (build sets it,
+                # append auto-detects and preserves it), so ONE row decides
+                # — never a full-column null scan at 100-TB block scale
+                row = blocks.select("pos_bin").limit(1).collect()
+                self._positional = bool(row) and row[0]["pos_bin"] is not None
+        if not self._positional:
+            raise ValueError(
+                "not a positional index: rebuild with "
+                "build_index(positions=True) for phrase queries")
+
+    def _phrase_walk_distributed(
+        self, terms: list[str], uniq: list[str], idfs: dict[str, float],
+        idf_sum: float, k: int, where: str | None,
+    ) -> list[tuple[int, float]]:
+        self._require_positional()
+        avgdl = self.avgdl
+        tomb_bc = self._tomb_bc
+        blocks = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(uniq))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin",
+                    "pos_bin")
+        )
+
+        def _walk(pdf, allow):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+            if allow is not None and len(allow) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            if any(t not in by_term for t in uniq):
+                return empty  # bucket lacks a required term: no phrase hit
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            cursors = {
+                t: _Cursor(t, idfs[t], by_term[t], avgdl) for t in uniq
+            }
+            hits = _phrase_topk(terms, cursors, idf_sum, k, avgdl,
+                                deleted=tomb_bc.value, allowed=allow)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in hits],
+                 "score": [s for _, s in hits]},
+                columns=["doc_id", "score"],
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        out_schema = "doc_id long, score double"
+        if where is None:
+            local = blocks.groupBy("part").applyInPandas(
+                lambda pdf: _walk(pdf, None), schema=out_schema
+            ).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk(bl_pdf, allow)
+
+            local = (
+                blocks.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_filtered, schema=out_schema)
+                .collect()
+            )
+        merged = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+        return [(int(r["doc_id"]), float(r["score"])) for r in merged]
 
     def postings_view_positional(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, dl, positions) decoded from the packed blocks
         for the given terms — the declarative substrate for
         :meth:`score_phrase_exhaustive` (narrow vectorized decode, pruned
         to the phrase's terms by the parquet ``term`` predicate)."""
+        self._require_positional()
         blocks = self.spark.read.parquet(self.paths.blocks)
-        if "pos_bin" not in blocks.columns:
-            raise ValueError(
-                "not a positional index: rebuild with "
-                "build_index(positions=True) for phrase queries")
         src = blocks.filter(F.col("term").isin(terms)).select(
             "term", "ids_bin", "tfs_bin", "dls_bin", "pos_bin")
-        if src.filter(F.col("pos_bin").isNull()).limit(1).count():
-            # column present but payload NULL = bag-of-words build; fail
-            # driver-side with a clear error instead of an executor crash
-            raise ValueError(
-                "not a positional index: rebuild with "
-                "build_index(positions=True) for phrase queries")
         return src.mapInPandas(
             _decode_blocks_pos_stream,
             schema="term string, doc_id long, tf long, dl long, "

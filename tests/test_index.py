@@ -787,3 +787,48 @@ def test_sql_surface_phrase_requires_positional(spark, index_dir):
 
     with pytest.raises(ValueError, match="positional"):
         _search_local(index_dir, "alpha beta", 10, mode="phrase")
+
+
+def test_phrase_distributed_identity(spark, pos_index_dir):
+    """The executor-side phrase walk (per-part applyInPandas + driver
+    merge) is rank- and score-identical (bit-exact) to the driver walk on
+    every phrase, including with an fq filter; non-vacuous on planted
+    phrases."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    for phrase in PHRASES:
+        for k in (1, 10, 50):
+            drv = reader.search_phrase(phrase, k, distributed=False)
+            dist = reader.search_phrase_distributed(phrase, k)
+            assert dist == drv, (phrase, k)  # docIDs AND exact doubles
+        if phrase in NONEMPTY_PHRASES:
+            assert reader.search_phrase_distributed(phrase, 10), phrase
+    # fq composes executor-side
+    where = "doc_id % 2 = 0"
+    assert (reader.search_phrase_distributed("alpha beta", 20, where=where)
+            == reader.search_phrase("alpha beta", 20, where=where,
+                                    distributed=False))
+
+
+def test_phrase_routing_and_filtered_goes_distributed(spark, pos_index_dir):
+    """search_phrase auto-routing mirrors search(): filtered queries
+    always take the distributed walk; explicit distributed=True/False are
+    honored; the route is recorded in last_path."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    reader.search_phrase("alpha beta", 5, where="doc_id % 2 = 0")
+    assert reader.last_path == "distributed"
+    reader.search_phrase("alpha beta", 5, distributed=True)
+    assert reader.last_path == "distributed"
+    reader.search_phrase("alpha beta", 5, distributed=False)
+    assert reader.last_path == "driver"
+
+
+def test_phrase_distributed_requires_positional(spark, index_dir):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError, match="positional"):
+        reader.search_phrase_distributed("alpha beta", 5)
