@@ -833,6 +833,49 @@ def _decode_blocks_pos_stream(batches):
         })
 
 
+def _decode_blocks_compact(positional: bool):
+    """mapInPandas kernel factory for maintenance compaction
+    (maintain.compact_index): packed block rows → full posting rows
+    (part, term, doc_id, tf, dl[, positions]) so survivors can be
+    re-packed after dropping tombstoned docs. Unlike the query-path
+    kernels this keeps ``part`` (the re-pack is part-aligned) and,
+    when ``positional``, carries every posting's position list through
+    so compaction preserves phrase capability."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for rec in pdf.to_dict("records"):
+                ids, tfs, dls = unpack_block(
+                    bytes(rec["ids_bin"]), bytes(rec["tfs_bin"]),
+                    bytes(rec["dls_bin"]))
+                out = pd.DataFrame({
+                    "part": np.full(len(ids), rec["part"], dtype=np.int32),
+                    "term": rec["term"],
+                    "doc_id": ids,
+                    "tf": tfs,
+                    "dl": dls,
+                })
+                if positional:
+                    pb = rec["pos_bin"]
+                    if pb is None:
+                        raise ValueError(
+                            "positional compaction hit a block without "
+                            "pos_bin")
+                    flat, offs = unpack_positions(bytes(pb), tfs)
+                    out["positions"] = [
+                        flat[offs[j]:offs[j + 1]].tolist()
+                        for j in range(len(ids))
+                    ]
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return kernel
+
+
 def _norm(dl: float, avgdl: float) -> float:
     return K1 * (1.0 - B + B * dl / avgdl)
 

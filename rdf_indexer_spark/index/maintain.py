@@ -131,6 +131,120 @@ def update_documents(
     return summary
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Physically drop tombstoned docs — Lucene ``forceMergeDeletes`` /
+    ``expungeDeletes``. Tombstone deletes are O(ids) but leave the dead
+    docs inside the postings AND inside the corpus statistics (the
+    documented Lucene deleted-docs posture: N/avgdl/df keep counting them
+    until segments merge). Compaction closes that window: decode the
+    packed blocks, drop deleted postings, re-pack, rewrite the docstore,
+    REFRESH stats + termstats from the survivors, and clear the
+    tombstones. After compaction the index is identical on every query
+    path to a one-shot build over the visible corpus (asserted in
+    tests/test_maintain.py), without ever needing the original text —
+    everything rebuilds from the index's own binary payloads, which is
+    what makes this runnable where the source corpus is long gone.
+
+    Scale shape: one narrow decode of the query-index blocks (term-pruned
+    reads don't apply — compaction is a full maintenance pass by nature),
+    ONE shuffle of the surviving postings back to (part, hash(term))
+    alignment (required: append generations leave multiple term-sorted
+    files per part whose concatenation is not term-merged), the same
+    vectorized ``_pack_stream`` packer as build/append, and metadata-only
+    stats re-aggregation. Positional payloads survive compaction (the
+    decode carries per-posting positions through the re-pack). Writes go
+    through the writer seam as STATIC partitioned overwrites
+    (``overwrite_partitioned`` — a fully-deleted bucket must disappear);
+    Iceberg mapping: ``RewriteDataFilesAction`` + dropping the delete
+    files in one commit."""
+    from .bm25 import _decode_blocks_compact
+    from .codec import unpack_positions  # noqa: F401 (executor import path)
+
+    paths = IndexPaths(index_dir)
+    manifest = Manifest(paths.manifest)
+    tomb_path = os.path.join(paths.root, "tombstones")
+    if not os.path.exists(tomb_path):
+        return manifest.summary()
+    tomb = spark.read.parquet(tomb_path).select("doc_id").distinct()
+    n_tomb = tomb.count()
+    if n_tomb == 0:
+        return manifest.summary()
+    writer = IndexWriter(manifest)
+
+    n_docs_after = spark.read.parquet(paths.docstore).join(
+        tomb, "doc_id", "left_anti").count()
+    if n_docs_after == 0:
+        # an empty parquet table cannot round-trip (no files → no schema);
+        # deleting everything is "drop the index dir", not a compaction
+        raise ValueError("compaction would empty the index; drop it instead")
+
+    blocks_df = spark.read.parquet(paths.blocks)
+    first = blocks_df.select("pos_bin").limit(1).collect() \
+        if "pos_bin" in blocks_df.columns else []
+    positional = bool(first) and first[0]["pos_bin"] is not None
+
+    schema = "part int, term string, doc_id long, tf long, dl long"
+    cols = ["part", "term", "ids_bin", "tfs_bin", "dls_bin"]
+    if positional:
+        schema += ", positions array<long>"
+        cols.append("pos_bin")
+    survivors = (
+        blocks_df.select(*cols)
+        .mapInPandas(_decode_blocks_compact(positional), schema=schema)
+        .join(tomb, "doc_id", "left_anti")
+    )
+    packed_src = (
+        survivors.repartition(
+            spark.sparkContext.defaultParallelism * 2,
+            F.col("part"), F.xxhash64("term"))
+        .sortWithinPartitions("part", "term", "doc_id")
+    )
+    new_blocks = packed_src.mapInPandas(_pack_stream, schema=BLOCK_SCHEMA)
+    writer.overwrite_partitioned(new_blocks, paths.blocks)
+
+    # docstore: same anti-join, static partitioned rewrite
+    writer.overwrite_partitioned(
+        spark.read.parquet(paths.docstore).join(tomb, "doc_id", "left_anti"),
+        paths.docstore,
+    )
+    # optional postings debug table stays consistent when present
+    if os.path.exists(paths.postings):
+        writer.overwrite_partitioned(
+            spark.read.parquet(paths.postings).join(
+                tomb, "doc_id", "left_anti"),
+            paths.postings,
+        )
+
+    # stats from the surviving docstore (dl is stored per doc — no text)
+    row = spark.read.parquet(paths.docstore).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")).collect()[0]
+    n_docs, total_tokens = int(row["n"]), int(row["tt"] or 0)
+    writer.overwrite(
+        spark.createDataFrame(
+            [(n_docs, (total_tokens / n_docs) if n_docs else 0.0,
+              total_tokens)],
+            "n_docs long, avgdl double, total_tokens long",
+        ),
+        paths.stats, coalesce=1,
+    )
+    # termstats from the rewritten blocks' metadata (no binary reads)
+    writer.overwrite(
+        spark.read.parquet(paths.blocks)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"),
+             F.sum("bin_bytes").alias("bytes")),
+        paths.termstats,
+    )
+    # drop the delete files: compaction consumed them (Iceberg: the
+    # RewriteDataFiles commit removes the applied delete files)
+    import shutil
+
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    writer.commit("compact", f"dropped={n_tomb}", n_docs=n_docs,
+                  tokens=total_tokens)
+    return manifest.summary()
+
+
 def append_documents(
     spark: SparkSession,
     new_docs: DataFrame,

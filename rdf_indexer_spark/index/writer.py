@@ -72,6 +72,34 @@ class IndexWriter:
             df = df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(path)
 
+    def overwrite_partitioned(self, df: DataFrame, path: str) -> None:
+        """Full-table rewrite keeping the hive ``part`` layout — unlike
+        :meth:`append_partitioned` this also drops partitions absent from
+        ``df`` (a fully-deleted bucket must disappear, not linger), and it
+        is safe when ``df``'s lineage READS ``path`` (the compaction
+        shape): data lands in a staging directory first, then a pointer
+        swap replaces the old table — the same new-files-then-commit order
+        Iceberg's ``RewriteDataFilesAction`` uses (a crash mid-stage
+        leaves the old table untouched; a crash between the two renames
+        leaves ``<path>.old`` to recover from)."""
+        import os
+        import shutil
+
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("part")
+            .parquet(staging)
+        )
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def append_rows(self, df: DataFrame, path: str) -> None:
         """Blind append (tombstones). Iceberg: ``newAppend()`` — or, for
         deletes proper, v2 positional delete files whose rows are exactly

@@ -102,11 +102,14 @@ def index_code_corpus(
     num_buckets: int = 32,
     resume: bool = True,
     buckets_per_job: int | None = None,
+    positions: bool = False,
 ) -> dict:
     """North-rule input (BASELINE.json input_hint): (repo, path, commit,
     lang, content) → inverted index keyed by dense doc ids over the natural
     key. The doc store carries (repo, path, commit, lang) plus the per-row
-    content sha256 the invariant checks against the source table."""
+    content sha256 the invariant checks against the source table.
+    ``positions=True`` builds the positional variant (phrase queries —
+    build.build_index positions)."""
     # natural key should be unique; content sha tiebreak keeps ids
     # run-stable even if a malformed input repeats a key
     docs = assign_doc_ids(
@@ -122,4 +125,5 @@ def index_code_corpus(
         meta_cols=("repo", "path", "commit", "lang"),
         resume=resume,
         buckets_per_job=buckets_per_job,
+        positions=positions,
     )

@@ -29,11 +29,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets-per-job", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true",
                     help="discard any existing manifest and rebuild")
+    ap.add_argument("--positions", action="store_true",
+                    help="build a POSITIONAL index (stores per-posting "
+                         "token positions; enables phrase queries)")
     ap.add_argument("--rdf", action="store_true",
-                    help="input is an RDF/XML file table (reference shape)")
+                    help="input is an RDF/XML file table (reference shape; "
+                         "--positions is not supported on this path)")
     ap.add_argument("--archive", default=None,
                     help="archive name for V-10 validation (--rdf only)")
     args = ap.parse_args(argv)
+    if args.rdf and args.positions:
+        ap.error("--positions is not supported with --rdf (the RDF path "
+                 "indexes reference-shaped documents bag-of-words)")
 
     from pyspark.sql import SparkSession
 
@@ -62,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.num_buckets,
             resume=not args.no_resume,
             buckets_per_job=args.buckets_per_job,
+            positions=args.positions,
         )
     print(json.dumps(summary))
     return 0

@@ -315,3 +315,100 @@ def test_append_keeps_positional_index_positional(spark, tmp_path, corpus):
                      flat, num_buckets=2)
     with pytest.raises(ValueError, match="positional"):
         IndexReader(spark, flat).search_phrase("alpha beta", 5)
+
+
+def test_compact_equals_visible_corpus_build(spark, tmp_path, corpus):
+    """compact_index (Lucene expungeDeletes) makes the index IDENTICAL on
+    every query path to a one-shot build over the visible corpus — the
+    stats-staleness window of the tombstone posture is closed: N, avgdl,
+    df, and therefore the scores themselves, match a fresh build."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import compact_index, delete_docs
+
+    a, b = corpus
+    full = a + b
+    victims = [i for i, _ in full if i % 7 == 3]
+    survivors = [(i, t) for i, t in full if i % 7 != 3]
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(full, ["doc_id", "text"]),
+                idx, num_buckets=3, resume=False)
+    delete_docs(spark, idx, victims)
+
+    # BEFORE compaction: deleted docs hidden but still inside the stats
+    pre = IndexReader(spark, idx)
+    assert pre.n_docs == len(full)
+
+    compact_index(spark, idx)
+
+    ref_dir = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(survivors, ["doc_id", "text"]),
+                ref_dir, num_buckets=3, resume=False)
+
+    r_cmp, r_ref = IndexReader(spark, idx), IndexReader(spark, ref_dir)
+    assert r_cmp.n_docs == r_ref.n_docs == len(survivors)
+    assert r_cmp.avgdl == pytest.approx(r_ref.avgdl, rel=1e-12)
+    assert len(r_cmp.tombstones) == 0
+    for q in QUERIES:
+        w1, w2 = r_cmp.search_wand(q, 50), r_ref.search_wand(q, 50)
+        assert [d for d, _ in w1] == [d for d, _ in w2], q
+        for (d1, s1), (d2, s2) in zip(w1, w2):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        assert r_cmp.search_wand_distributed(q, 50) == w1, q
+    ex = [(r["doc_id"], round(r["score"], 9))
+          for r in r_cmp.score_exhaustive("alpha beta gamma", 20).collect()]
+    ex_ref = [(r["doc_id"], round(r["score"], 9))
+              for r in r_ref.score_exhaustive("alpha beta gamma", 20).collect()]
+    assert ex == ex_ref
+    # compaction is idempotent (no tombstones left -> no-op)
+    compact_index(spark, idx)
+    assert IndexReader(spark, idx).search_wand("needle", 10) == \
+        r_ref.search_wand("needle", 10)
+
+
+def test_compact_preserves_positional(spark, tmp_path):
+    """Compaction over a positional index keeps phrase capability: the
+    compacted index's phrase results equal a fresh positional build over
+    the visible corpus, on the driver AND distributed walks."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import compact_index, delete_docs
+
+    docs = [(i, f"alpha beta w{i % 11} gamma " + ("alpha beta " * (i % 3)))
+            for i in range(90)]
+    victims = [i for i in range(90) if i % 5 == 1]
+    survivors = [(i, t) for i, t in docs if i % 5 != 1]
+
+    idx = str(tmp_path / "pidx")
+    build_index(spark, spark.createDataFrame(docs, ["doc_id", "text"]),
+                idx, num_buckets=2, resume=False, positions=True)
+    delete_docs(spark, idx, victims)
+    compact_index(spark, idx)
+
+    ref_dir = str(tmp_path / "pref")
+    build_index(spark, spark.createDataFrame(survivors, ["doc_id", "text"]),
+                ref_dir, num_buckets=2, resume=False, positions=True)
+
+    r_cmp, r_ref = IndexReader(spark, idx), IndexReader(spark, ref_dir)
+    for phrase in ("alpha beta", "beta alpha", "alpha beta alpha"):
+        w1 = r_cmp.search_phrase(phrase, 100, distributed=False)
+        w2 = r_ref.search_phrase(phrase, 100, distributed=False)
+        assert [d for d, _ in w1] == [d for d, _ in w2], phrase
+        for (d1, s1), (d2, s2) in zip(w1, w2):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        assert r_cmp.search_phrase_distributed(phrase, 100) == w1, phrase
+    assert r_cmp.search_phrase("alpha beta", 1000, distributed=False)
+
+
+def test_compact_refuses_to_empty_the_index(spark, tmp_path):
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.maintain import compact_index, delete_docs
+
+    idx = str(tmp_path / "small")
+    build_index(spark, spark.createDataFrame(
+        [(0, "only doc")], ["doc_id", "text"]), idx, num_buckets=1,
+        resume=False)
+    delete_docs(spark, idx, [0])
+    with pytest.raises(ValueError, match="empty"):
+        compact_index(spark, idx)

@@ -28,3 +28,74 @@ def test_batch_mode_rejects_invalid_combinations(argv, capsys):
     assert e.value.code == 2  # argparse usage error, before any Spark work
     err = capsys.readouterr().err
     assert "--query" in err
+
+
+@pytest.mark.parametrize("argv", [
+    ["--index-dir", "/tmp/idx", "--query", "a", "--phrase", "--exhaustive"],
+    ["--index-dir", "/tmp/idx", "--query", "a", "--phrase", "--distributed"],
+    ["--index-dir", "/tmp/idx", "--query", "a", "--query", "b", "--phrase"],
+])
+def test_phrase_flag_rejects_invalid_combinations(argv, capsys):
+    with pytest.raises(SystemExit) as e:
+        _main()(argv)
+    assert e.value.code == 2
+    assert "--phrase" in capsys.readouterr().err
+
+
+def test_run_index_rejects_rdf_positions(capsys):
+    import run_index
+
+    with pytest.raises(SystemExit) as e:
+        run_index.main(["--input", "/tmp/x", "--index-dir", "/tmp/idx",
+                        "--rdf", "--positions"])
+    assert e.value.code == 2
+    assert "--positions" in capsys.readouterr().err
+
+
+def test_run_maintain_full_loop(spark, tmp_path, capsys):
+    """The maintenance CLI drives the reference's purge → re-post loop end
+    to end: delete-by-query, update, append, compact — each printing a
+    JSON summary, with the final index equal to a fresh build over the
+    surviving corpus on the default query path."""
+    import json
+
+    import run_maintain
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    docs = [(i, f"alpha w{i % 7} beta common") for i in range(40)]
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(docs, ["doc_id", "text"]),
+                idx, num_buckets=2, resume=False)
+
+    assert run_maintain.main(
+        ["delete", "--index-dir", idx, "--where", "doc_id >= 35"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"op": "delete", "tombstones": 5}
+
+    upd = str(tmp_path / "upd.parquet")
+    spark.createDataFrame([(0, "replaced zebra text")], ["doc_id", "text"]
+                          ).write.parquet(upd)
+    assert run_maintain.main(
+        ["update", "--index-dir", idx, "--input", upd,
+         "--num-buckets", "1"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["op"] == "update"
+
+    app = str(tmp_path / "app.parquet")
+    spark.createDataFrame([(41, "brand new gamma doc")], ["doc_id", "text"]
+                          ).write.parquet(app)
+    assert run_maintain.main(
+        ["append", "--index-dir", idx, "--input", app,
+         "--num-buckets", "1"]) == 0
+    capsys.readouterr()
+
+    assert run_maintain.main(["compact", "--index-dir", idx]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["op"] == "compact"
+
+    r = IndexReader(spark, idx)
+    assert len(r.tombstones) == 0
+    assert dict(r.search_wand("zebra", 5))
+    assert dict(r.search_wand("gamma", 5))
+    assert all(d < 35 or d >= 40 for d, _ in r.search_wand("alpha", 100))
