@@ -169,6 +169,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     n_tomb = tomb.count()
     if n_tomb == 0:
         return manifest.summary()
+    # Tombstones are the small side at any realistic delete rate: broadcast
+    # them so the anti-joins never shuffle the (huge) decoded postings
+    # stream by doc_id — the only wide exchange in the whole pass stays the
+    # single (part, hash(term)) re-alignment below. Guard on count so a
+    # pathological mass-delete (where "drop and rebuild" is the right tool
+    # anyway) falls back to a shuffled join instead of OOMing the driver.
+    if n_tomb <= 10_000_000:
+        tomb = F.broadcast(tomb)
     writer = IndexWriter(manifest)
 
     n_docs_after = spark.read.parquet(paths.docstore).join(

@@ -177,3 +177,51 @@ def test_cogrouped_fq_plan_pushes_both_scans(spark, tmp_path):
     assert "content_sha256" not in doc_scan and "dl" not in doc_scan.split("[")[1].split("]")[0]
     assert "BroadcastExchange" not in plan
     assert "CollectLimit" not in plan
+
+
+def test_compaction_plan_single_shuffle_no_driver_funnel(spark, tmp_path):
+    """The compaction re-pack lineage (decode → anti-join tombstones →
+    repartition → sort → pack) must carry EXACTLY one wide Exchange
+    above the decode (the part/term re-alignment), and the tombstone
+    anti-join side must broadcast — tombstones are the SMALL side at every
+    realistic scale, and broadcasting them is what keeps the decoded
+    postings stream from being shuffled a second time on doc_id. This
+    mirrors compact_index (maintain.py), which broadcasts tombstones
+    explicitly below the 10M-row fallback guard."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.index.bm25 import _decode_blocks_compact
+    from rdf_indexer_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 9} beta") for i in range(150)], ["doc_id", "text"])
+    idx = str(tmp_path / "cplan")
+    build_index(spark, docs, idx, num_buckets=2, resume=False)
+    blocks_df = spark.read.parquet(os.path.join(idx, "blocks"))
+    tomb = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    survivors = (
+        blocks_df.select("part", "term", "ids_bin", "tfs_bin", "dls_bin")
+        .mapInPandas(_decode_blocks_compact(False),
+                     schema="part int, term string, doc_id long, "
+                            "tf long, dl long")
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+    )
+    packed_src = survivors.repartition(
+        8, F.col("part"), F.xxhash64("term")
+    ).sortWithinPartitions("part", "term", "doc_id")
+    plan = packed_src._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "collectlimit" not in low and "takeordered" not in low
+    # the tombstone side broadcasts into the anti-join; the posting side
+    # is never broadcast (a BroadcastExchange of the decode output would
+    # also carry mapinpandas below it — assert that shape never appears)
+    assert "broadcastexchange" in low
+    assert "broadcasthashjoin" in low or "broadcastnestedloop" not in low
+    # exactly ONE hashpartitioning exchange in the whole lineage: the
+    # (part, xxhash64(term)) re-alignment.  No doc_id exchange may exist —
+    # that is precisely what the broadcast buys at scale.
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "xxhash64" in hash_exchanges[0], plan
