@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stateful-op batch twin + batched ANN (new in r2)
         "sessionize": Q.q_sessionize,
         "ann_batch": Q.q_ann_batch,
+        # Solr serving surface extensions (r5): facets + MoreLikeThis
+        "bm25_facets": Q.q_bm25_facets,
+        "facet_browse": Q.q_facet_browse,
+        "bm25_mlt": Q.q_bm25_mlt,
     }
 
 
@@ -168,6 +172,88 @@ def oracle_sql() -> dict[str, str]:
     bm25_batch_sql = (
         _bm25_one("q1", bm25_terms) + " UNION ALL " + _bm25_one("q2", post_terms)
     )
+
+    # facet counts over the FULL OR-match set (bm25_facets): a doc matches
+    # iff it contains ANY query term; counts melt (lang, source) and keep
+    # the top-5 values per field by (count desc, value asc) — exactly
+    # IndexReader.facet_counts' window rank.
+    facets_sql = f"""
+        WITH q(term) AS (VALUES {bm25_terms}),
+        matched AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+          WHERE term IN (SELECT term FROM q)
+        ),
+        melt AS (
+          SELECT 'lang' AS facet_field, lang AS facet_value
+          FROM documents JOIN matched USING (doc_id)
+          UNION ALL
+          SELECT 'source' AS facet_field, source AS facet_value
+          FROM documents JOIN matched USING (doc_id)
+        )
+        SELECT facet_field, facet_value, count(*)::BIGINT AS n
+        FROM melt GROUP BY facet_field, facet_value
+        QUALIFY row_number() OVER (
+          PARTITION BY facet_field ORDER BY n DESC, facet_value ASC) <= 5
+    """
+    # match-all browse facets under an fq predicate (facet_browse)
+    facet_browse_sql = """
+        WITH melt AS (
+          SELECT 'lang' AS facet_field, lang AS facet_value
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT 'source' AS facet_field, source AS facet_value
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT facet_field, facet_value, count(*)::BIGINT AS n
+        FROM melt GROUP BY facet_field, facet_value
+        QUALIFY row_number() OVER (
+          PARTITION BY facet_field ORDER BY n DESC, facet_value ASC) <= 3
+    """
+    # MoreLikeThis (bm25_mlt): restate BOTH stages — (1) seed doc 42's
+    # top-10 "interesting" terms by tf(seed)·idf, ties term-asc (Lucene
+    # MLT's default term scorer), (2) the OR-mode BM25 over those terms
+    # with the seed excluded. The term-selection is part of the oracle, so
+    # a drift in tf/idf math or tie-breaking fails the gate.
+    mlt_sql = f"""
+        WITH seed AS (
+          SELECT unnest({tok}) AS term FROM documents WHERE doc_id = 42
+        ),
+        tf_seed AS (SELECT term, count(*)::DOUBLE AS tf
+                    FROM seed GROUP BY term),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM tf_seed) GROUP BY term
+        ),
+        interesting AS (
+          SELECT term
+          FROM tf_seed JOIN df USING (term) CROSS JOIN stats
+          ORDER BY tf * ln(1 + (n - df + 0.5) / (df + 0.5)) DESC, term ASC
+          LIMIT 10
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM interesting) GROUP BY doc_id, term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        WHERE doc_id != 42
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
 
     # exact-phrase oracle (bm25_topk_phrase, phrase "table hash"): a doc
     # matches iff the consecutive token sequence occurs; pf = number of
@@ -513,6 +599,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_update": bm25_update_sql,
         "bm25_topk_filtered": bm25_filtered_sql,
         "bm25_batch": bm25_batch_sql,
+        "bm25_facets": facets_sql,
+        "facet_browse": facet_browse_sql,
+        "bm25_mlt": mlt_sql,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    count(*)::BIGINT AS dup_count,

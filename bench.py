@@ -169,6 +169,13 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "exact_dedup": Q.q_exact_dedup,
             "ann_cosine": Q.q_ann_cosine,
             "quality": Q.q_quality,
+            # Solr serving surface (r5): facet counts over the full match
+            # set, match-all browse facets, MoreLikeThis. These run through
+            # the queries layer whose cached meta-ful index is built on the
+            # first rep — min-of-2 records the warm-index run.
+            "bm25_facets": Q.q_bm25_facets,
+            "facet_browse": Q.q_facet_browse,
+            "bm25_mlt": Q.q_bm25_mlt,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

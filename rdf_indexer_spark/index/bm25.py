@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 
 from ..analyzer import tokenize
 from .build import IndexPaths
-from .codec import unpack_block, unpack_positions
+from .codec import (delta_decode, unpack_block, unpack_positions,
+                    varbyte_decode)
 
 K1 = 1.2
 B = 0.75
@@ -720,6 +721,168 @@ class IndexReader:
             local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+    def facet_counts(
+        self, query: str, fields: list[str], *, mode: str = "or",
+        where: str | None = None, top: int = 10,
+    ) -> DataFrame:
+        """Solr-style facet counts over the FULL match set of ``query``
+        (the serving surface the reference's index exists to power: Collex
+        is a faceted browser, and every Solr response it consumes carries
+        ``facet.field`` counts alongside the hits — facets summarize ALL
+        matching docs, not the top-k page).
+
+        ``fields`` are docstore metadata columns (``build_index
+        meta_cols`` — the index's stored fields, like Lucene doc values).
+        ``mode="or"`` matches docs containing ANY query term, ``"and"``
+        requires every term (strict ``+required``: a term absent from the
+        index ⇒ empty). An empty/``"*:*"`` query matches ALL visible docs
+        (Solr ``q=*:*`` browsing). ``where`` is the same fq predicate as
+        :meth:`search`, evaluated on the docstore scan. Tombstoned docs
+        never count.
+
+        Scale shape: blocks and docstore are co-partitioned on the same
+        doc_id→part striping, so the match-set ∩ metadata step is a
+        COGROUPED per-part kernel — ids-only block decode (no tf/dl), a
+        numpy membership mask over the part's (pruned) metadata columns,
+        and per-part PARTIAL counts. Only ≤ parts·Σ|field cardinality|
+        count rows reach the final groupBy; nothing is proportional to
+        corpus size past the scans. Returns (facet_field, facet_value,
+        n) — per field the ``top`` values by (n desc, value asc)."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        if not fields:
+            raise ValueError("facet_counts needs at least one field")
+        terms = sorted(set(tokenize(query))) if query not in ("", "*:*") \
+            else []
+        tomb_bc = self._tomb_bc
+        out_schema = "facet_field string, facet_value string, cnt long"
+        docmeta = self.spark.read.parquet(self.paths.docstore)
+        if where is not None:
+            docmeta = docmeta.filter(where)
+        docmeta = docmeta.select(
+            "part", "doc_id", *[F.col(c).cast("string").alias(c)
+                                for c in fields])
+
+        def _partial_counts(doc_pdf, matched: np.ndarray | None):
+            """Per-part partial (field, value, count) rows. ``matched`` is
+            the part's matching doc_id set (None = match-all)."""
+            import pandas as pd
+
+            sub = doc_pdf
+            deleted = tomb_bc.value
+            if deleted is not None and len(deleted):
+                sub = sub[~sub["doc_id"].isin(deleted)]
+            if matched is not None:
+                sub = sub[np.isin(sub["doc_id"].values.astype(np.int64),
+                                  matched)]
+            frames = []
+            for f_name in fields:
+                vc = sub[f_name].value_counts(dropna=False)
+                vals = [None if pd.isna(v) else str(v) for v in vc.index]
+                frames.append(pd.DataFrame({
+                    "facet_field": f_name,
+                    "facet_value": pd.Series(vals, dtype="object"),
+                    "cnt": vc.values.astype("int64"),
+                }))
+            return pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame({"facet_field": pd.Series(dtype="object"),
+                              "facet_value": pd.Series(dtype="object"),
+                              "cnt": pd.Series(dtype="int64")})
+
+        if not terms:
+            # match-all browse: one pruned docstore pass, partial counts
+            # per partition, tiny final agg
+            partial = docmeta.groupBy("part").applyInPandas(
+                lambda pdf: _partial_counts(pdf, None), schema=out_schema)
+        else:
+            stats = self.term_stats(terms)
+            if (not stats) or (mode == "and" and len(stats) < len(terms)):
+                return self.spark.createDataFrame([], out_schema).select(
+                    "facet_field", "facet_value", F.col("cnt").alias("n"))
+            live = sorted(stats)
+            n_req = len(terms)
+            blocks = (
+                self.spark.read.parquet(self.paths.blocks)
+                .filter(F.col("term").isin(live))
+                .select("part", "term", "ids_bin")
+            )
+
+            def _facets(bl_pdf, doc_pdf):
+                per_term: dict[str, list] = {}
+                for rec in bl_pdf.to_dict("records"):
+                    ids = delta_decode(varbyte_decode(bytes(rec["ids_bin"])))
+                    per_term.setdefault(rec["term"], []).append(ids)
+                if mode == "and" and len(per_term) < n_req:
+                    return _partial_counts(doc_pdf.iloc[0:0], None)
+                sets = [np.unique(np.concatenate(v))
+                        for v in per_term.values()]
+                if not sets:
+                    return _partial_counts(doc_pdf.iloc[0:0], None)
+                matched = sets[0]
+                if mode == "and":
+                    for s in sets[1:]:
+                        matched = np.intersect1d(matched, s,
+                                                 assume_unique=True)
+                else:
+                    matched = np.unique(np.concatenate(sets)) \
+                        if len(sets) > 1 else sets[0]
+                return _partial_counts(doc_pdf, matched)
+
+            partial = (
+                blocks.groupBy("part")
+                .cogroup(docmeta.groupBy("part"))
+                .applyInPandas(_facets, schema=out_schema)
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("facet_field").orderBy(
+            F.desc("n"), F.asc_nulls_last("facet_value"))
+        return (
+            partial.groupBy("facet_field", "facet_value")
+            .agg(F.sum("cnt").alias("n"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top)
+            .drop("_r")
+        )
+
+    def more_like_this(
+        self, text: str, k: int = 10, *, m_terms: int = 10,
+        min_tf: int = 1, where: str | None = None,
+        exclude_doc_id: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene/Solr MoreLikeThis: rank the corpus by similarity to a
+        given document's text. Select the document's ``m_terms`` most
+        "interesting" terms — tf(term in doc) · idf(term), Lucene MLT's
+        default scorer, ties broken (score desc, term asc), terms absent
+        from the index or below ``min_tf`` dropped — then run the standard
+        OR-mode BM25 search with them. ``exclude_doc_id`` removes the
+        source doc via the fq path (Solr MLT never returns the seed).
+
+        The seed analysis is a driver-side tokenize of ONE document plus
+        one termstats scan (df for the seed's distinct terms); the search
+        itself is the normal auto-routed WAND walk, so the heavy part
+        inherits the distributed shape."""
+        counts: dict[str, int] = {}
+        for t in tokenize(text):
+            counts[t] = counts.get(t, 0) + 1
+        cand = sorted(t for t, c in counts.items() if c >= min_tf)
+        if not cand:
+            return []
+        stats = self.term_stats(cand)
+        scored = sorted(
+            ((counts[t] * self._idf(s["df"]), t) for t, s in stats.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        top_terms = [t for _, t in scored[:m_terms]]
+        self.last_mlt_terms = top_terms
+        if not top_terms:
+            return []
+        fq = where
+        if exclude_doc_id is not None:
+            excl = f"doc_id != {int(exclude_doc_id)}"
+            fq = excl if fq is None else f"({fq}) AND {excl}"
+        return self.search_wand_distributed(" ".join(top_terms), k, where=fq)
 
     # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
     # actual cost of the driver walk is pulling the query terms' packed

@@ -355,9 +355,13 @@ def _index_for(spark, sf, positional: bool = False):
     key = (sf, positional)
     if key not in _INDEX_CACHE:
         d = tempfile.mkdtemp(prefix="qidx_")
-        docs = load(spark, sf, "documents").select("doc_id", "text")
+        # lang/source ride along as docstore metadata (build meta_cols —
+        # the index's stored fields): the facet surface counts over them,
+        # and fq predicates can reference them like any stored field.
+        docs = load(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source")
         build_index(spark, docs, d, num_buckets=4, resume=False,
-                    positions=positional)
+                    positions=positional, meta_cols=("lang", "source"))
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
 
@@ -706,3 +710,52 @@ def q_bm25_batch(spark, sf):
     return out.select(
         "query_id", "doc_id", F.round("score", 4).alias("score")
     )
+
+
+def q_bm25_facets(spark, sf):
+    """Solr facet.field counts over the FULL match set of an OR query —
+    the faceted-browsing response shape the reference's index serves
+    (Collex sidebars are facet counts). Cogrouped per-part kernel: ids-only
+    block decode ∩ pruned docstore metadata, partial counts per part, tiny
+    final agg. Oracle: DuckDB match-set + melt + QUALIFY top-N."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.facet_counts(
+        " ".join(BM25_QUERY_TERMS), ["lang", "source"], top=5)
+
+
+def q_facet_browse(spark, sf):
+    """Match-all faceting (Solr ``q=*:*`` browsing) under an fq visibility
+    predicate: one pruned docstore pass, per-partition partial counts —
+    no block decode at all. The browse entry exercises the match-all
+    degenerate path + where + top-N truncation."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.facet_counts(
+        "*:*", ["lang", "source"], where="doc_id % 3 = 0", top=3)
+
+
+MLT_SEED_DOC = 42
+
+
+def q_bm25_mlt(spark, sf):
+    """Solr/Lucene MoreLikeThis: seed doc 42's top-10 interesting terms by
+    tf·idf (ties term-asc), then the standard OR-mode BM25 search with the
+    seed excluded via the fq path. Oracle: full DuckDB restatement —
+    interesting-term selection AND the downstream BM25 — so the term
+    choice itself is oracle-checked, not just the final ranking."""
+    from .index.bm25 import IndexReader
+
+    seed_text = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") == MLT_SEED_DOC)
+        .select("text").collect()[0]["text"]
+    )
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.more_like_this(
+        seed_text, 10, m_terms=10, exclude_doc_id=MLT_SEED_DOC)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))

@@ -832,3 +832,140 @@ def test_phrase_distributed_requires_positional(spark, index_dir):
     reader = IndexReader(spark, index_dir)
     with pytest.raises(ValueError, match="positional"):
         reader.search_phrase_distributed("alpha beta", 5)
+
+
+# ---------------------------------------------------------------------------
+# Solr serving-surface extensions (r5): facet counts + MoreLikeThis
+
+
+def _facet_docs(n=90):
+    rows = []
+    for i in range(n):
+        text = f"alpha w{i % 7} beta" + (" zeta" if i % 3 == 0 else "")
+        rows.append((i, text, ["en", "fr", "de"][i % 3], f"s{i % 2}"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def facet_index_dir(spark, tmp_path_factory):
+    from rdf_indexer_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("fidx"))
+    docs = spark.createDataFrame(
+        _facet_docs(), "doc_id long, text string, lang string, source string")
+    build_index(spark, docs, out, num_buckets=3, resume=False,
+                meta_cols=("lang", "source"))
+    return out
+
+
+def _facets_as_dict(df):
+    return {(r["facet_field"], r["facet_value"]): r["n"] for r in df.collect()}
+
+
+def test_facet_counts_semantics(spark, facet_index_dir):
+    """Facets count the FULL match set (not top-k), honor mode/where/top,
+    and the expectations here are brute-forced from the corpus spec."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    docs = _facet_docs()
+
+    # match-all browse
+    got = _facets_as_dict(reader.facet_counts("*:*", ["lang", "source"]))
+    want = {}
+    for _, _, lang, src in docs:
+        want[("lang", lang)] = want.get(("lang", lang), 0) + 1
+        want[("source", src)] = want.get(("source", src), 0) + 1
+    assert got == want
+
+    # OR match: docs with 'zeta' (i % 3 == 0 → always lang 'en')
+    got = _facets_as_dict(reader.facet_counts("zeta", ["lang", "source"]))
+    zeta = [d for d in docs if "zeta" in d[1]]
+    assert got[("lang", "en")] == len(zeta)
+    assert ("lang", "fr") not in got
+    assert got[("source", "s0")] + got[("source", "s1")] == len(zeta)
+
+    # AND match + where
+    got = _facets_as_dict(reader.facet_counts(
+        "alpha zeta", ["source"], mode="and", where="doc_id < 30"))
+    want_n = sum(1 for d in zeta if d[0] < 30)
+    assert sum(got.values()) == want_n
+
+    # dead term: OR drops it, AND empties the result
+    assert _facets_as_dict(reader.facet_counts("zzz", ["lang"])) == {}
+    assert _facets_as_dict(
+        reader.facet_counts("alpha zzz", ["lang"], mode="and")) == {}
+
+    # top truncation keeps the (count desc, value asc) head per field
+    rows = reader.facet_counts("*:*", ["lang"], top=1).collect()
+    assert len(rows) == 1 and rows[0]["facet_value"] == "de"
+
+
+def test_facet_counts_tombstones_and_compaction(spark, tmp_path):
+    """Deleted docs never count; counts are identical before and after
+    compaction (facets read docstore+blocks, both of which compaction
+    rewrites)."""
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.maintain import compact_index, delete_docs
+
+    idx = str(tmp_path / "fidx2")
+    docs = spark.createDataFrame(
+        _facet_docs(), "doc_id long, text string, lang string, source string")
+    build_index(spark, docs, idx, num_buckets=2, resume=False,
+                meta_cols=("lang", "source"))
+    delete_docs(spark, idx, [0, 3, 6])  # three 'zeta'/'en' docs
+    reader = IndexReader(spark, idx)
+    got = _facets_as_dict(reader.facet_counts("zeta", ["lang"]))
+    alive_zeta = [d for d in _facet_docs()
+                  if "zeta" in d[1] and d[0] not in (0, 3, 6)]
+    assert got == {("lang", "en"): len(alive_zeta)}
+    compact_index(spark, idx)
+    got2 = _facets_as_dict(IndexReader(spark, idx).facet_counts(
+        "zeta", ["lang"]))
+    assert got2 == got
+
+
+def test_facet_counts_plan_shape(spark, facet_index_dir):
+    """The facet result is a lazy DataFrame whose plan has no driver
+    funnel and whose docstore scan is pruned to (part, doc_id, facet
+    fields) — content_sha256/dl never leave the parquet reader."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    df = reader.facet_counts("zeta", ["lang"], top=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "collectlimit" not in low and "takeordered" not in low
+    doc_scans = [ln for ln in plan.splitlines()
+                 if "parquet" in ln.lower() and "docstore" in ln]
+    assert doc_scans, plan
+    for ln in doc_scans:
+        assert "content_sha256" not in ln and "dl" not in \
+            ln.split("ReadSchema")[-1], ln
+
+
+def test_more_like_this_terms_and_exclusion(spark, facet_index_dir):
+    """MLT's interesting-term pick equals the brute-forced tf·idf ranking
+    (ties term-asc), the seed never appears in the hits, and the hits are
+    exactly the standard distributed search over the picked terms."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    seed_id, seed_text = 0, _facet_docs()[0][1]  # "alpha w0 beta zeta"
+    hits = reader.more_like_this(seed_text, 8, m_terms=2,
+                                 exclude_doc_id=seed_id)
+    # brute-force the term pick: tf = 1 for every token here, so the two
+    # highest-idf (rarest) tokens win; ties broken term-asc
+    import collections
+    tf = collections.Counter(seed_text.split())
+    idfs = reader.idfs(sorted(tf))
+    want_terms = [t for _, t in sorted(
+        ((-tf[t] * idfs[t], t) for t in idfs))[:2]]
+    assert reader.last_mlt_terms == want_terms
+    assert all(d != seed_id for d, _ in hits)
+    twin = reader.search_wand_distributed(
+        " ".join(want_terms), 8, where=f"doc_id != {seed_id}")
+    assert hits == twin
+    # a seed made of unknown tokens matches nothing
+    assert reader.more_like_this("qqq zzz", 5) == []
