@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facets": Q.q_bm25_facets,
         "facet_browse": Q.q_facet_browse,
         "bm25_mlt": Q.q_bm25_mlt,
+        "spell_suggest": Q.q_spell_suggest,
+        "bm25_highlight": Q.q_bm25_highlight,
     }
 
 
@@ -602,6 +604,86 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": facets_sql,
         "facet_browse": facet_browse_sql,
         "bm25_mlt": mlt_sql,
+        # spellcheck: dictionary df recomputed from the corpus, identical
+        # (distance asc, df desc, term asc) ranking and the same
+        # input-term exclusion as IndexReader.suggest
+        "spell_suggest": f"""
+            WITH tokd AS (
+              SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tokd GROUP BY term
+            )
+            SELECT term, df, levenshtein(term, 'sot')::INT AS dist
+            FROM df
+            WHERE term != 'sot' AND levenshtein(term, 'sot') <= 2
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+        """,
+        # highlighting: the same from-scratch BM25 top-10, then the
+        # snippet = densest 8-token window (enumerate every start, count
+        # query-term tokens, ties earliest) with <em> marks — rebuilt
+        # entirely from the pinned token stream, byte-identical to
+        # highlight.highlight_hits
+        "bm25_highlight": f"""
+            WITH q(term) AS (VALUES {bm25_terms}),
+            tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            ),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                       tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            topk AS (
+              SELECT doc_id, score FROM scores
+              ORDER BY score DESC, doc_id ASC LIMIT 10
+            ),
+            tl AS (
+              SELECT d.doc_id, {tok} AS toks
+              FROM documents d JOIN topk USING (doc_id)
+            ),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks) - 8, 0) + 1)) AS s
+              FROM tl
+            ),
+            windows AS (
+              SELECT doc_id, toks, s,
+                     len(list_filter(toks[s + 1 : s + 8],
+                         t -> list_contains(['window', 'shuffle', 'join'],
+                                            t))) AS m
+              FROM starts
+            ),
+            best AS (
+              SELECT doc_id, toks, s FROM windows
+              QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY m DESC, s ASC) = 1
+            )
+            SELECT topk.doc_id, round(topk.score, 4) AS score,
+                   array_to_string(list_transform(
+                     best.toks[best.s + 1 : best.s + 8],
+                     t -> CASE WHEN list_contains(
+                              ['window', 'shuffle', 'join'], t)
+                          THEN '<em>' || t || '</em>' ELSE t END), ' ')
+                     AS snippet
+            FROM topk JOIN best USING (doc_id)
+        """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    count(*)::BIGINT AS dup_count,

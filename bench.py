@@ -176,6 +176,8 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "bm25_facets": Q.q_bm25_facets,
             "facet_browse": Q.q_facet_browse,
             "bm25_mlt": Q.q_bm25_mlt,
+            "spell_suggest": Q.q_spell_suggest,
+            "bm25_highlight": Q.q_bm25_highlight,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

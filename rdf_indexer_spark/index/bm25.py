@@ -884,6 +884,40 @@ class IndexReader:
             fq = excl if fq is None else f"({fq}) AND {excl}"
         return self.search_wand_distributed(" ".join(top_terms), k, where=fq)
 
+    def suggest(
+        self, term: str, *, max_dist: int = 2, top: int = 5,
+        min_df: int = 1,
+    ) -> DataFrame:
+        """Spell suggestion over the index's term dictionary — Lucene's
+        DirectSpellChecker shape (Solr ``spellcheck``): candidate terms
+        within ``max_dist`` Levenshtein edits of the input, ranked
+        (distance asc, df desc, term asc). The input term itself is never
+        suggested; ``min_df`` drops noise terms.
+
+        Scale shape: ONE scan of the termstats metadata table (|vocab|
+        rows — millions, not trillions; no postings touched), a length
+        band prefilter (|len(t) − len(term)| ≤ max_dist, cheap Column
+        algebra that skips most of the dictionary before the edit-distance
+        kernel), JVM-side ``levenshtein``, and a global top-N — the only
+        thing that moves is ``top`` rows. Returns (term, df, dist)."""
+        q = term.strip().lower()
+        out_schema = "term string, df long, dist int"
+        if not q:
+            return self.spark.createDataFrame([], out_schema)
+        ts = self.spark.read.parquet(self.paths.termstats)
+        return (
+            ts.select("term", "df")
+            .filter(
+                (F.abs(F.length("term") - F.lit(len(q))) <= max_dist)
+                & (F.col("term") != q)
+                & (F.col("df") >= min_df)
+            )
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(top)
+        )
+
     # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
     # actual cost of the driver walk is pulling the query terms' packed
     # blocks to one machine, and byte size is what build-time block metadata

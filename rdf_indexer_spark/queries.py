@@ -759,3 +759,37 @@ def q_bm25_mlt(spark, sf):
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_highlight(spark, sf):
+    """Solr ``hl=true``: the top-10 BM25 hits with a highlighted snippet —
+    the densest 8-token window of each hit's text (ties: earliest start),
+    query terms wrapped in <em> tags. Snippets are built from the pinned
+    token stream so the DuckDB oracle rebuilds them byte-for-byte
+    (enumerate-all-starts window argmax, identical tie-break)."""
+    from .highlight import highlight_hits
+    from .index.bm25 import IndexReader
+
+    q = " ".join(BM25_QUERY_TERMS)
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in reader.search_wand(q, 10)],
+        "doc_id long, score double")
+    out = highlight_hits(load(spark, sf, "documents"), hits, q, window=8)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "snippet")
+
+
+MISSPELLED = "sot"  # one edit from the corpus term "sort"
+
+
+def q_spell_suggest(spark, sf):
+    """Solr spellcheck / Lucene DirectSpellChecker over the index's term
+    dictionary: Levenshtein ≤ 2 candidates for a misspelled query term,
+    ranked (distance asc, df desc, term asc). One termstats metadata scan,
+    length-band prefilter, JVM-side levenshtein, top-5. Oracle: DuckDB
+    corpus-recomputed df + levenshtein with the identical ranking."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.suggest(MISSPELLED, max_dist=2, top=5)

@@ -969,3 +969,50 @@ def test_more_like_this_terms_and_exclusion(spark, facet_index_dir):
     assert hits == twin
     # a seed made of unknown tokens matches nothing
     assert reader.more_like_this("qqq zzz", 5) == []
+
+
+def test_spell_suggest_semantics(spark, facet_index_dir):
+    """Dictionary suggestions: ranked (dist asc, df desc, term asc), the
+    input term never suggested, min_df/top honored, empty input → empty."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    got = [(r["term"], r["df"], r["dist"])
+           for r in reader.suggest("bita", max_dist=2, top=5).collect()]
+    # corpus vocab: alpha, beta (every doc), zeta (every 3rd), w0..w6
+    assert got == [("beta", 90, 1), ("zeta", 30, 2)]
+    # the term itself is excluded even when present in the dictionary
+    got = [r["term"] for r in reader.suggest("beta", max_dist=1).collect()]
+    assert "beta" not in got and "zeta" in got
+    # min_df prunes low-frequency candidates; top truncates
+    got = [r["term"] for r in
+           reader.suggest("bita", max_dist=2, min_df=50).collect()]
+    assert got == ["beta"]
+    assert reader.suggest("bita", top=1).count() == 1
+    assert reader.suggest("   ").count() == 0
+
+
+def test_highlight_hits_semantics(spark):
+    """Snippet = densest W-token window (ties earliest), query tokens
+    wrapped, short docs return whole text, hit columns carried through."""
+    from rdf_indexer_spark.highlight import highlight_hits
+
+    docs = spark.createDataFrame(
+        [
+            # densest window is at the END (3 hits in 4 tokens)
+            (1, "x x x x x x x x x x apple y apple apple z"),
+            # tie between two single-hit windows → earliest start wins
+            (2, "a apple b c d e f g h i j k apple l"),
+            (3, "tiny apple doc"),               # shorter than the window
+            (4, "nothing relevant here at all"),  # no match: first window
+        ],
+        "doc_id long, text string")
+    hits = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "doc_id long, score double")
+    out = {r["doc_id"]: r for r in
+           highlight_hits(docs, hits, "apple", window=4).collect()}
+    assert out[1]["snippet"] == "<em>apple</em> y <em>apple</em> <em>apple</em>"
+    assert out[2]["snippet"].startswith("a <em>apple</em> b c")
+    assert out[3]["snippet"] == "tiny <em>apple</em> doc"
+    assert out[4]["snippet"] == "nothing relevant here at"
+    assert out[2]["score"] == 2.0  # ranking columns survive the join
