@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mlt": Q.q_bm25_mlt,
         "spell_suggest": Q.q_spell_suggest,
         "bm25_highlight": Q.q_bm25_highlight,
+        "bm25_boolean": Q.q_bm25_boolean,
     }
 
 
@@ -619,6 +620,54 @@ def oracle_sql() -> dict[str, str]:
             FROM df
             WHERE term != 'sot' AND levenshtein(term, 'sot') <= 2
             ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+        """,
+        # Lucene BooleanQuery '+window join^2 -merge': MUST terms gate the
+        # match set (HAVING all required), boosted SHOULD terms add
+        # boost·idf·tfnorm where present, MUST_NOT docs excluded — the
+        # same per-term BM25 kernel as every other entry
+        "bm25_boolean": f"""
+            WITH q(term, boost, req) AS (
+              VALUES ('window', 1.0, 1), ('join', 2.0, 0)
+            ),
+            tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                      FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            matched AS (
+              SELECT doc_id FROM tf JOIN q USING (term)
+              WHERE q.req = 1 GROUP BY doc_id
+              HAVING count(DISTINCT term) =
+                     (SELECT count(*) FROM q WHERE req = 1)
+            ),
+            excl AS (
+              SELECT DISTINCT doc_id FROM tokd WHERE term = 'merge'
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       q.boost *
+                       ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                       tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                     ) AS score
+              FROM tf
+              JOIN q USING (term)
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+                AND tf.doc_id NOT IN (SELECT doc_id FROM excl)
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score FROM scores
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # highlighting: the same from-scratch BM25 top-10, then the
         # snippet = densest 8-token window (enumerate every start, count

@@ -178,6 +178,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "bm25_mlt": Q.q_bm25_mlt,
             "spell_suggest": Q.q_spell_suggest,
             "bm25_highlight": Q.q_bm25_highlight,
+            "bm25_boolean": Q.q_bm25_boolean,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

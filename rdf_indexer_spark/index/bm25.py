@@ -918,6 +918,175 @@ class IndexReader:
             .limit(top)
         )
 
+    def search_boolean(
+        self, must: list[str] = (), should: list[str] = (),
+        must_not: list[str] = (), *, boosts: dict[str, float] | None = None,
+        k: int = 10, where: str | None = None,
+        distributed: bool | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene BooleanQuery under BM25 (the full Solr ``q`` clause
+        algebra short of phrases): MUST terms gate the match set
+        (strict — a MUST term absent from the index matches nothing),
+        SHOULD terms add score when present (a pure-SHOULD query is the
+        ordinary OR search), MUST_NOT terms exclude their docs (Lucene
+        MUST_NOT: a pure-negative query matches nothing), and ``boosts``
+        scales a term's idf (Solr ``term^2.5``). Modern Lucene's
+        BM25Similarity has no coord() factor and neither does this.
+
+        MUST_NOT at scale: the prohibited terms' postings are decoded
+        ids-only WHERE THE WALK RUNS — per part bucket on the executors in
+        the distributed path — and merged into the walker's deleted set;
+        the exclusion set never crosses the network (each part only ever
+        sees its own stripe's prohibited ids). ``where`` composes as the
+        usual fq predicate. Auto-routing follows :meth:`search`:
+        byte-estimate guard, filtered queries always distributed."""
+        norm = lambda xs: [t for x in xs for t in tokenize(x)]  # noqa: E731
+        must_t = sorted(set(norm(must)))
+        must_not_t = sorted(set(norm(must_not)))
+        should_t = sorted(set(norm(should)) - set(must_t))
+        if not must_t and not should_t:
+            return []
+        scored_terms = sorted(set(must_t) | set(should_t))
+        stats = self.term_stats(scored_terms)
+        if any(t not in stats for t in must_t):
+            return []  # strict +required: an unindexed MUST term → ∅
+        boosts = boosts or {}
+        idfs = {t: self._idf(s["df"]) * float(boosts.get(t, 1.0))
+                for t, s in stats.items()}
+        if not idfs:
+            return []
+        fetch_terms = sorted(set(idfs) | set(must_not_t))
+        avgdl = self.avgdl
+        n_required = len(must_t)
+        if distributed is None:
+            if where is not None:
+                distributed = True
+            elif all(s["bytes"] is not None for s in stats.values()):
+                est = sum(s["bytes"] for s in stats.values())
+                distributed = est > self.DISTRIBUTED_FETCH_BYTES
+            else:
+                distributed = (sum(s["df"] for s in stats.values())
+                               > self.DISTRIBUTED_POSTINGS_THRESHOLD)
+
+        must_set, should_set = set(must_t), set(should_t)
+        mn_set = set(must_not_t)
+
+        if not distributed:
+            allowed = self.allowed_ids(where)
+            blocks = self.fetch_blocks(fetch_terms)
+            excluded = _excluded_ids(
+                [r for t in must_not_t for r in blocks.get(t, [])])
+            merged = _merge_deleted(self.tombstones, excluded)
+            must_c = [_Cursor(t, idfs[t], blocks[t], avgdl)
+                      for t in must_t if t in blocks]
+            should_c = [_Cursor(t, idfs[t], blocks[t], avgdl)
+                        for t in should_t if t in blocks]
+            if must_t:
+                return _boolean_topk(must_c, should_c, k, n_required,
+                                     deleted=merged, allowed=allowed)
+            return _wand_topk(should_c, k, deleted=merged, allowed=allowed)
+
+        tomb_bc = self._tomb_bc
+        blocks_df = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(fetch_terms))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+        )
+
+        def _walk(pdf, allow):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")})
+            if allow is not None and len(allow) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            if not by_term:
+                return empty
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            excluded = _excluded_ids(
+                [r for t in mn_set for r in by_term.get(t, [])])
+            merged = _merge_deleted(tomb_bc.value, excluded)
+            must_c = [_Cursor(t, idfs[t], by_term[t], avgdl)
+                      for t in sorted(must_set) if t in by_term]
+            should_c = [_Cursor(t, idfs[t], by_term[t], avgdl)
+                        for t in sorted(should_set) if t in by_term]
+            if must_set:
+                hits = _boolean_topk(must_c, should_c, k, n_required,
+                                     deleted=merged, allowed=allow)
+            elif should_c:
+                hits = _wand_topk(should_c, k, deleted=merged,
+                                  allowed=allow)
+            else:
+                hits = []
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in hits],
+                 "score": [s for _, s in hits]},
+                columns=["doc_id", "score"],
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        out_schema = "doc_id long, score double"
+        if where is None:
+            local = blocks_df.groupBy("part").applyInPandas(
+                lambda pdf: _walk(pdf, None), schema=out_schema
+            ).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk(bl_pdf, allow)
+
+            local = (
+                blocks_df.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_filtered, schema=out_schema)
+                .collect()
+            )
+        merged_rows = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))
+        return [(int(r["doc_id"]), float(r["score"]))
+                for r in merged_rows[:k]]
+
+    def search_lucene(
+        self, q: str, k: int = 10, *, where: str | None = None,
+        distributed: bool | None = None,
+    ) -> list[tuple[int, float]]:
+        """Search with Lucene classic query syntax (the Solr ``q`` string
+        the reference's production surface speaks): ``+required``,
+        ``-prohibited``, ``"exact phrase"``, ``term^boost`` — parsed by
+        :mod:`.qparse` and routed onto the native walks.
+
+        Routing: a lone phrase clause (no boolean clauses, boost 1) runs
+        the positional phrase walk; any mix of term clauses runs
+        :meth:`search_boolean`. Phrase clauses COMBINED with boolean
+        clauses are not yet executable in one walk and raise
+        ``NotImplementedError`` (the honest boundary — Lucene interleaves
+        them inside one scorer tree)."""
+        from .qparse import parse_query
+
+        p = parse_query(q)
+        if p.phrases:
+            if p.must or p.should or p.must_not or len(p.phrases) > 1:
+                raise NotImplementedError(
+                    "phrase clauses cannot yet be combined with other "
+                    "clauses; run the phrase and the boolean parts as "
+                    "separate queries")
+            toks, _required, boost = p.phrases[0]
+            if boost != 1.0:
+                raise NotImplementedError("phrase boosts not supported")
+            return self.search_phrase(" ".join(toks), k, where=where)
+        return self.search_boolean(
+            [t for t, _ in p.must], [t for t, _ in p.should], p.must_not,
+            boosts=p.boosts, k=k, where=where, distributed=distributed)
+
     # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
     # actual cost of the driver walk is pulling the query terms' packed
     # blocks to one machine, and byte size is what build-time block metadata
@@ -1235,6 +1404,76 @@ def _and_topk(
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-d, s) for s, d in out]
+
+
+def _boolean_topk(
+    must: list["_Cursor"], should: list["_Cursor"], k: int,
+    n_required: int, deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Mixed MUST/SHOULD exact top-k (Lucene BooleanQuery under BM25):
+    leapfrog intersection over the MUST cursors defines the match set;
+    SHOULD cursors are forward-only riders that add their contribution
+    whenever they align with a matched doc (they never gate matching).
+    MUST_NOT is handled upstream by merging the prohibited ids into
+    ``deleted``. Same (score desc, doc_id asc) tie-break as every walk."""
+    if k <= 0 or n_required <= 0 or len(must) < n_required:
+        return []
+    heap: list[tuple[float, int]] = []
+
+    def offer(doc: int, score: float) -> None:
+        if _in_sorted(deleted, doc):
+            return
+        if allowed is not None and not _in_sorted(allowed, doc):
+            return
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    should_sorted = sorted(should, key=lambda c: c.term)
+    while True:
+        if any(c.exhausted for c in must):
+            break
+        target = max(c.cur_doc for c in must)
+        for c in must:
+            if c.cur_doc < target:
+                c.next_geq(target)
+        if any(c.exhausted for c in must):
+            break
+        if all(c.cur_doc == target for c in must):
+            score = 0.0
+            for c in sorted(must, key=lambda c: c.term):
+                score += c.contribution()
+            for c in should_sorted:
+                if not c.exhausted and c.cur_doc < target:
+                    c.next_geq(target)
+                if not c.exhausted and c.cur_doc == target:
+                    score += c.contribution()
+            offer(target, score)
+            for c in must:
+                c.advance()
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
+
+
+def _excluded_ids(recs: list) -> np.ndarray:
+    """Sorted unique doc ids from a list of block records (Row or dict) —
+    the MUST_NOT exclusion set, decoded ids-only (no tf/dl)."""
+    if not recs:
+        return np.empty(0, dtype=np.int64)
+    parts = [delta_decode(varbyte_decode(bytes(r["ids_bin"]))) for r in recs]
+    return np.unique(np.concatenate(parts))
+
+
+def _merge_deleted(a: np.ndarray | None, b: np.ndarray) -> np.ndarray | None:
+    if not len(b):
+        return a
+    if a is None or not len(a):
+        return b
+    return np.union1d(a, b)
 
 
 def _phrase_freq(terms: list[str], cursors: dict[str, "_Cursor"]) -> int:

@@ -780,6 +780,25 @@ def q_bm25_highlight(spark, sf):
         "doc_id", F.round("score", 4).alias("score"), "snippet")
 
 
+LUCENE_QUERY = '+window join^2 -merge'
+
+
+def q_bm25_boolean(spark, sf):
+    """Lucene BooleanQuery through the full production path — the classic
+    query string ``+window join^2 -merge`` is PARSED (qparse), routed
+    (search_lucene → search_boolean) and executed: MUST gates the match
+    set, the boosted SHOULD adds 2× idf score where present, MUST_NOT
+    docs are excluded by per-part ids-only postings decode. Oracle: a
+    from-scratch DuckDB restatement with (term, boost, required) rows."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_lucene(LUCENE_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 MISSPELLED = "sot"  # one edit from the corpus term "sort"
 
 

@@ -1016,3 +1016,111 @@ def test_highlight_hits_semantics(spark):
     assert out[3]["snippet"] == "tiny <em>apple</em> doc"
     assert out[4]["snippet"] == "nothing relevant here at"
     assert out[2]["score"] == 2.0  # ranking columns survive the join
+
+
+def test_qparse_clauses_and_errors():
+    from rdf_indexer_spark.index.qparse import parse_query
+
+    p = parse_query('+alpha -beta gamma^2 delta "exact phrase"')
+    assert p.must == [("alpha", 1.0)]
+    assert p.must_not == ["beta"]
+    assert p.should == [("gamma", 2.0), ("delta", 1.0)]
+    assert p.phrases == [(("exact", "phrase"), False, 1.0)]
+    assert p.boosts == {"gamma": 2.0}
+    # a multi-token clause inherits its prefix/boost (analyzer splits it)
+    p = parse_query("+Foo-Bar^3")
+    assert p.must == [("foo", 3.0), ("bar", 3.0)]
+    for bad in ['a AND b', 'NOT a', 'title:x', 'wild*', 'fuzz~',
+                '"unbalanced', '-"no neg phrases"']:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def _bool_corpus():
+    return [(i, " ".join(filter(None, [
+        "alpha" if i % 2 == 0 else "",
+        "beta" if i % 3 == 0 else "",
+        "gamma" if i % 5 == 0 else "",
+        f"w{i % 7}", "base"]))) for i in range(120)]
+
+
+@pytest.fixture(scope="module")
+def bool_index_dir(spark, tmp_path_factory):
+    from rdf_indexer_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("bidx"))
+    docs = spark.createDataFrame(_bool_corpus(), ["doc_id", "text"])
+    build_index(spark, docs, out, num_buckets=3, resume=False)
+    return out
+
+
+def _brute_boolean(must, should, must_not, boosts=None, k=10,
+                   pred=lambda i: True):
+    """From-scratch BooleanQuery BM25 over the _bool_corpus spec."""
+    import collections
+    import math
+
+    boosts = boosts or {}
+    toks = {i: t.split() for i, t in _bool_corpus()}
+    n = len(toks)
+    dls = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    dfc = collections.Counter(t for ts in toks.values() for t in set(ts))
+
+    def contrib(t, i):
+        tf = toks[i].count(t)
+        idf = math.log(1 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+        return (boosts.get(t, 1.0) * idf * tf
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl)))
+
+    hits = []
+    for i, ts in toks.items():
+        s = set(ts)
+        if any(m not in s for m in must) or any(m in s for m in must_not):
+            continue
+        if not pred(i) or not (must or any(t in s for t in should)):
+            continue
+        hits.append((i, sum(contrib(t, i) for t in must)
+                     + sum(contrib(t, i) for t in should if t in s)))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(i, round(sc, 8)) for i, sc in hits[:k]]
+
+
+@pytest.mark.parametrize("must,should,must_not,boosts", [
+    (["alpha"], ["gamma"], ["beta"], {}),
+    (["alpha", "gamma"], [], [], {}),
+    ([], ["alpha", "gamma"], ["beta"], {}),
+    (["alpha"], ["gamma", "w3"], [], {"gamma": 2.0}),
+])
+def test_boolean_walk_matches_bruteforce_both_paths(
+        spark, bool_index_dir, must, should, must_not, boosts):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, bool_index_dir)
+    want = _brute_boolean(must, should, must_not, boosts)
+    for dist in (False, True):
+        got = [(d, round(s, 8)) for d, s in reader.search_boolean(
+            must, should, must_not, boosts=boosts, k=10, distributed=dist)]
+        assert got == want, (dist, got[:3], want[:3])
+
+
+def test_boolean_edges_and_lucene_routing(spark, bool_index_dir):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, bool_index_dir)
+    # pure-negative and unindexed-MUST queries match nothing
+    assert reader.search_boolean([], [], ["alpha"]) == []
+    assert reader.search_boolean(["zzznope"], ["alpha"], []) == []
+    # fq composes with MUST_NOT
+    got = [(d, round(s, 8)) for d, s in reader.search_boolean(
+        ["alpha"], [], ["beta"], k=10, where="doc_id < 60")]
+    assert got == _brute_boolean(["alpha"], [], ["beta"],
+                                 pred=lambda i: i < 60)
+    # the parsed surface routes to the same walk
+    got = [(d, round(s, 8)) for d, s in
+           reader.search_lucene("+alpha -beta gamma^2", 10)]
+    assert got == _brute_boolean(["alpha"], ["gamma"], ["beta"],
+                                 {"gamma": 2.0})
+    # phrase+boolean mixes are an explicit boundary
+    with pytest.raises(NotImplementedError):
+        reader.search_lucene('+alpha "beta gamma"', 5)
