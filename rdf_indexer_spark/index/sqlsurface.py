@@ -84,6 +84,77 @@ def _allowed_local(index_dir: str, where: str | None) -> np.ndarray | None:
     return np.sort(np.asarray(ids, dtype=np.int64))
 
 
+def _lucene_local(index_dir: str, query: str, k: int,
+                  where: str | None = None) -> list[tuple[int, float]]:
+    """Worker-side Lucene classic-syntax search: parse the ``q`` string
+    (qparse) and run the boolean walk over pyarrow-fetched blocks — the
+    same MUST/SHOULD/MUST_NOT/boost semantics as
+    ``IndexReader.search_boolean``, sharing `_boolean_topk` and the
+    ids-only MUST_NOT decode. Lone phrase clauses route to phrase mode."""
+    import pyarrow.parquet as pq
+
+    from .bm25 import (_boolean_topk, _Cursor, _excluded_ids,
+                       _merge_deleted, _wand_topk)
+    from .qparse import parse_query
+
+    p = parse_query(query)
+    if p.phrases:
+        if p.must or p.should or p.must_not or len(p.phrases) > 1:
+            raise NotImplementedError(
+                "phrase clauses cannot yet be combined with other clauses")
+        toks, _required, boost = p.phrases[0]
+        if boost != 1.0:
+            raise NotImplementedError("phrase boosts not supported")
+        return _search_local(index_dir, " ".join(toks), k, "phrase", where)
+    boosts: dict[str, float] = {}
+    for t, b in [*p.must, *p.should]:
+        boosts.setdefault(t, b)
+    must_t = sorted({t for t, _ in p.must})
+    should_t = sorted({t for t, _ in p.should} - set(must_t))
+    mn_t = sorted(set(p.must_not))
+    scored = sorted(set(must_t) | set(should_t))
+    if not scored:
+        return []
+    state = _load_reader_state(index_dir)
+    ts = pq.read_table(
+        os.path.join(index_dir, "termstats"),
+        filters=[("term", "in", scored)],
+    ).to_pylist()
+    idfs = {
+        r["term"]: boosts.get(r["term"], 1.0) * math.log(
+            1.0 + (state["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in ts
+    }
+    if any(t not in idfs for t in must_t) or not idfs:
+        return []
+    fetch = sorted(set(idfs) | set(mn_t))
+    blocks_tbl = pq.read_table(
+        os.path.join(index_dir, "blocks"),
+        columns=["term", "first_doc_id", "last_doc_id", "n", "max_tf",
+                 "dl_min", "ids_bin", "tfs_bin", "dls_bin"],
+        filters=[("term", "in", fetch)],
+    )
+    by_term: dict[str, list] = {}
+    for rec in blocks_tbl.to_pylist():
+        by_term.setdefault(rec["term"], []).append(rec)
+    for t in by_term:
+        by_term[t].sort(key=lambda r: r["first_doc_id"])
+    allowed = _allowed_local(index_dir, where)
+    if allowed is not None and not len(allowed):
+        return []
+    excluded = _excluded_ids(
+        [r for t in mn_t for r in by_term.get(t, [])])
+    merged = _merge_deleted(state["tombstones"], excluded)
+    must_c = [_Cursor(t, idfs[t], by_term[t], state["avgdl"])
+              for t in must_t if t in by_term]
+    should_c = [_Cursor(t, idfs[t], by_term[t], state["avgdl"])
+                for t in should_t if t in by_term]
+    if must_t:
+        return _boolean_topk(must_c, should_c, k, len(must_t),
+                             deleted=merged, allowed=allowed)
+    return _wand_topk(should_c, k, deleted=merged, allowed=allowed)
+
+
 def _search_local(index_dir: str, query: str, k: int,
                   mode: str = "or",
                   where: str | None = None) -> list[tuple[int, float]]:
@@ -101,6 +172,8 @@ def _search_local(index_dir: str, query: str, k: int,
     from ..analyzer import tokenize
     from .bm25 import _Cursor, _and_topk, _phrase_topk, _wand_topk
 
+    if mode == "lucene":
+        return _lucene_local(index_dir, query, k, where)
     if mode not in ("or", "and", "phrase"):
         raise ValueError(f"unknown mode: {mode!r}")
     state = _load_reader_state(index_dir)
@@ -170,9 +243,12 @@ def _search_local(index_dir: str, query: str, k: int,
 def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
     """Register ``name(query, k[, mode[, where]])`` as a SQL table function
     for ``index_dir`` — mode 'or' (default), 'and' (strict +required, the
-    Solr ``+term`` surface in SQL), or 'phrase' (exact consecutive
+    Solr ``+term`` surface in SQL), 'phrase' (exact consecutive
     sequence over a positional index — the Lucene ``"quoted phrase"``
-    surface; requires ``build_index(positions=True)``); ``where`` is an
+    surface; requires ``build_index(positions=True)``), or 'lucene'
+    (the full classic query string: ``+must -not term^boost`` and lone
+    quoted phrases, parsed by qparse and run through the boolean
+    walk — ``IndexReader.search_lucene`` in SQL); ``where`` is an
     optional fq visibility predicate over the docstore (the Solr q+fq
     composition — relevance plus a non-scoring filter), evaluated
     index-side on the worker exactly like ``IndexReader.search(where=...)``.

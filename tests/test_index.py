@@ -1124,3 +1124,26 @@ def test_boolean_edges_and_lucene_routing(spark, bool_index_dir):
     # phrase+boolean mixes are an explicit boundary
     with pytest.raises(NotImplementedError):
         reader.search_lucene('+alpha "beta gamma"', 5)
+
+
+def test_sql_surface_lucene_mode(spark, bool_index_dir):
+    """bm25_search(q, k, 'lucene') == search_lucene, including MUST_NOT
+    and boosts, and the phrase route still works through the parser."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, bool_index_dir, name="bm25_search_luc")
+    reader = IndexReader(spark, bool_index_dir)
+    q = "+alpha -beta gamma^2"
+    want = [(d, round(s, 8)) for d, s in reader.search_lucene(q, 10)]
+    got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+        f"SELECT * FROM bm25_search_luc('{q}', 10, 'lucene') ORDER BY rank"
+    ).collect()]
+    assert got == want
+    # fq composes in SQL too
+    want = [(d, round(s, 8)) for d, s in
+            reader.search_lucene(q, 10, where="doc_id < 60")]
+    got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+        f"SELECT * FROM bm25_search_luc('{q}', 10, 'lucene', "
+        f"'doc_id < 60') ORDER BY rank").collect()]
+    assert got == want
