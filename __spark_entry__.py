@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": Q.q_spell_suggest,
         "bm25_highlight": Q.q_bm25_highlight,
         "bm25_boolean": Q.q_bm25_boolean,
+        "bm25_sort_field": Q.q_bm25_sort_field,
+        "bm25_grouped": Q.q_bm25_grouped,
     }
 
 
@@ -620,6 +622,66 @@ def oracle_sql() -> dict[str, str]:
             FROM df
             WHERE term != 'sot' AND levenshtein(term, 'sot') <= 2
             ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+        """,
+        # Solr sort=<field>: the OR match set ordered by the stored field
+        # (no scoring), doc_id tiebreak
+        "bm25_sort_field": f"""
+            WITH q(term) AS (VALUES {bm25_terms}),
+            matched AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+              WHERE term IN (SELECT term FROM q)
+            )
+            SELECT doc_id, n_chars
+            FROM documents JOIN matched USING (doc_id)
+            ORDER BY n_chars ASC, doc_id ASC LIMIT 10
+        """,
+        # Solr result grouping (group.field=lang): same BM25 score CTE,
+        # then top-2 per lang inside the 3 groups with the best top doc
+        "bm25_grouped": f"""
+            WITH q(term) AS (VALUES {bm25_terms}),
+            tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            ),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                      FROM dl),
+            df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                       tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            joined AS (
+              SELECT s.doc_id, s.score, d.lang
+              FROM scores s JOIN documents d USING (doc_id)
+            ),
+            ranked AS (
+              SELECT lang, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY score DESC, doc_id ASC) AS doc_rank
+              FROM joined
+            ),
+            top_groups AS (
+              SELECT lang FROM joined GROUP BY lang
+              ORDER BY max(score) DESC, lang ASC LIMIT 3
+            )
+            SELECT lang, doc_id, round(score, 4) AS score, doc_rank
+            FROM ranked JOIN top_groups USING (lang)
+            WHERE doc_rank <= 2
         """,
         # Lucene BooleanQuery '+window join^2 -merge': MUST terms gate the
         # match set (HAVING all required), boosted SHOULD terms add

@@ -179,6 +179,8 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "spell_suggest": Q.q_spell_suggest,
             "bm25_highlight": Q.q_bm25_highlight,
             "bm25_boolean": Q.q_bm25_boolean,
+            "bm25_sort_field": Q.q_bm25_sort_field,
+            "bm25_grouped": Q.q_bm25_grouped,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

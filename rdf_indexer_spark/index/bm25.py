@@ -122,16 +122,24 @@ class IndexReader:
 
     # -- exhaustive scorer (DataFrame plan) ---------------------------------
 
-    def postings_view(self) -> DataFrame:
+    def postings_view(self, terms: list[str] | None = None) -> DataFrame:
         """The (term, doc_id, tf, dl) relation: the persisted postings table
         when present, else a narrow vectorized decode of the blocks (the
-        blocks ARE the postings — the table is an optional debug artifact)."""
+        blocks ARE the postings — the table is an optional debug artifact).
+
+        Pass ``terms`` to prune: on the postings table it's an ordinary
+        pushed filter, but on the blocks-decode branch it must be applied
+        BELOW the ``mapInPandas`` boundary (a filter above a Python UDF
+        never reaches the parquet scan), so the pruning happens on the
+        block scan itself — only the query terms' packed blocks are ever
+        read or decoded."""
         if os.path.exists(self.paths.postings):
-            return self.spark.read.parquet(self.paths.postings)
-        blocks = self.spark.read.parquet(self.paths.blocks).select(
-            "term", "ids_bin", "tfs_bin", "dls_bin"
-        )
-        return blocks.mapInPandas(
+            df = self.spark.read.parquet(self.paths.postings)
+            return df.filter(F.col("term").isin(terms)) if terms else df
+        blocks = self.spark.read.parquet(self.paths.blocks)
+        if terms:
+            blocks = blocks.filter(F.col("term").isin(terms))
+        return blocks.select("term", "ids_bin", "tfs_bin", "dls_bin").mapInPandas(
             _decode_blocks_stream, schema="term string, doc_id long, tf long, dl long"
         )
 
@@ -154,7 +162,7 @@ class IndexReader:
         idf_map = F.create_map(
             *[F.lit(x) for t, v in sorted(idfs.items()) for x in (t, float(v))]
         )
-        postings = self.postings_view()
+        postings = self.postings_view(sorted(idfs))
         contrib = (
             F.element_at(idf_map, F.col("term"))
             * F.col("tf")
@@ -164,7 +172,7 @@ class IndexReader:
             )
         )
         scored = (
-            postings.filter(F.col("term").isin(list(idfs)))
+            postings
             .select("doc_id", "term", contrib.alias("contrib"))
             .groupBy("doc_id")
             .agg(
@@ -1086,6 +1094,98 @@ class IndexReader:
         return self.search_boolean(
             [t for t, _ in p.must], [t for t, _ in p.should], p.must_not,
             boosts=p.boosts, k=k, where=where, distributed=distributed)
+
+    def matched_docs(
+        self, query: str, *, mode: str = "or", where: str | None = None,
+    ) -> DataFrame:
+        """The query's FULL match set as a declarative DataFrame of
+        doc_ids (no scoring): term-pruned postings decode → per-doc
+        distinct-term count (AND = all terms), fq semi-join, tombstone
+        anti-join. The substrate for the non-scoring serving surfaces
+        (sort-by-field, grouping) — Solr computes these over the match
+        set, not the top-k page."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        terms = sorted(set(tokenize(query)))
+        stats = self.term_stats(terms)
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if not stats or (mode == "and" and len(stats) < len(terms)):
+            return empty
+        matched = (
+            self.postings_view(sorted(stats))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nterms"))
+        )
+        if mode == "and":
+            matched = matched.filter(F.col("_nterms") == len(terms))
+        matched = matched.select("doc_id")
+        if where is not None:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("doc_id")
+            )
+            matched = matched.join(visible, "doc_id", "left_semi")
+        if len(self.tombstones):
+            tomb = self.spark.read.parquet(
+                self._tomb_path).select("doc_id").distinct()
+            matched = matched.join(tomb, "doc_id", "left_anti")
+        return matched
+
+    def search_sorted(
+        self, query: str, sort_by: str, *, ascending: bool = True,
+        k: int = 10, mode: str = "or", where: str | None = None,
+    ) -> DataFrame:
+        """Solr ``sort=<field> asc|desc``: the top-k of the query's match
+        set ordered by a STORED field (docstore metadata / doc values)
+        instead of relevance — no scores are computed, exactly like Solr
+        skips scoring for non-score sorts. doc_id breaks ties so the page
+        is deterministic. Declarative plan: match set ⋈ pruned docstore
+        (doc_id, field) → global top-k (TakeOrdered — only k rows move).
+        Returns (doc_id, <sort_by>)."""
+        meta = self.spark.read.parquet(self.paths.docstore).select(
+            "doc_id", sort_by)
+        order = [F.asc(sort_by) if ascending else F.desc(sort_by),
+                 F.asc("doc_id")]
+        return (
+            self.matched_docs(query, mode=mode, where=where)
+            .join(meta, "doc_id")
+            .orderBy(*order)
+            .limit(k)
+        )
+
+    def search_grouped(
+        self, query: str, group_by: str, *, k_groups: int = 5,
+        k_per_group: int = 2, mode: str = "or", where: str | None = None,
+    ) -> DataFrame:
+        """Solr result grouping / field collapse (``group=true&group.field=
+        <f>``): the top ``k_per_group`` docs by BM25 within each value of a
+        stored field, for the ``k_groups`` best groups — groups ranked by
+        their best doc's score (Solr's default group ordering), ties by
+        group value. Declarative composition: the exhaustive scorer's full
+        match-set scores ⋈ pruned docstore metadata → two window ranks —
+        Catalyst plans it, partial aggregation keeps the group ranking
+        shuffle at |groups| rows. Returns (group value, doc_id, score,
+        doc_rank)."""
+        from pyspark.sql import Window
+
+        scored = self.score_exhaustive(query, k=None, mode=mode,
+                                       where=where)
+        meta = self.spark.read.parquet(self.paths.docstore).select(
+            "doc_id", group_by)
+        joined = scored.join(meta, "doc_id")
+        w_doc = Window.partitionBy(group_by).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        ranked = joined.withColumn("doc_rank", F.row_number().over(w_doc)) \
+            .filter(F.col("doc_rank") <= k_per_group)
+        top_groups = (
+            joined.groupBy(group_by)
+            .agg(F.max("score").alias("_gs"))
+            .orderBy(F.desc("_gs"), F.asc(group_by))
+            .limit(k_groups)
+            .select(group_by)
+        )
+        return ranked.join(F.broadcast(top_groups), group_by).select(
+            group_by, "doc_id", "score", "doc_rank")
 
     # Auto-select guards for search(). Primary: estimated FETCH BYTES — the
     # actual cost of the driver walk is pulling the query terms' packed

@@ -359,9 +359,10 @@ def _index_for(spark, sf, positional: bool = False):
         # the index's stored fields): the facet surface counts over them,
         # and fq predicates can reference them like any stored field.
         docs = load(spark, sf, "documents").select(
-            "doc_id", "text", "lang", "source")
+            "doc_id", "text", "lang", "source", "n_chars")
         build_index(spark, docs, d, num_buckets=4, resume=False,
-                    positions=positional, meta_cols=("lang", "source"))
+                    positions=positional,
+                    meta_cols=("lang", "source", "n_chars"))
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
 
@@ -797,6 +798,31 @@ def q_bm25_boolean(spark, sf):
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_sort_field(spark, sf):
+    """Solr ``sort=<field> asc`` — the top-10 of the match set ordered by
+    a STORED field (n_chars) instead of relevance, scores never computed
+    (Solr skips scoring for non-score sorts). Oracle: DuckDB match set +
+    ORDER BY n_chars, doc_id."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.search_sorted(
+        " ".join(BM25_QUERY_TERMS), "n_chars", ascending=True, k=10)
+
+
+def q_bm25_grouped(spark, sf):
+    """Solr result grouping (``group.field=lang``): top-2 docs by BM25
+    inside each of the 3 best lang groups, groups ranked by their best
+    doc's score. Oracle: the same BM25 score CTE + two window ranks."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    out = reader.search_grouped(
+        " ".join(BM25_QUERY_TERMS), "lang", k_groups=3, k_per_group=2)
+    return out.select(
+        "lang", "doc_id", F.round("score", 4).alias("score"), "doc_rank")
 
 
 MISSPELLED = "sot"  # one edit from the corpus term "sort"

@@ -1147,3 +1147,45 @@ def test_sql_surface_lucene_mode(spark, bool_index_dir):
         f"SELECT * FROM bm25_search_luc('{q}', 10, 'lucene', "
         f"'doc_id < 60') ORDER BY rank").collect()]
     assert got == want
+
+
+def test_search_sorted_and_grouped(spark, facet_index_dir):
+    """Solr sort=<field> and group.field surfaces: field-ordered match-set
+    page (no scoring) and per-group top docs, checked against the
+    exhaustive scorer + python recomputation."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    docs = _facet_docs()
+
+    # sort by stored field: zeta docs ordered by (source, doc_id)
+    rows = reader.search_sorted("zeta", "source", k=5).collect()
+    zeta_ids = [i for i, t, _, _ in docs if "zeta" in t]
+    want = sorted(((f"s{i % 2}", i) for i in zeta_ids))[:5]
+    assert [(r["source"], r["doc_id"]) for r in rows] == want
+    # descending + where: source desc, doc_id asc
+    rows = reader.search_sorted("zeta", "source", ascending=False, k=3,
+                                where="doc_id < 30").collect()
+    cand = [(f"s{i % 2}", i) for i in zeta_ids if i < 30]
+    cand.sort(key=lambda x: (x[1],))
+    cand.sort(key=lambda x: x[0], reverse=True)
+    assert [(r["source"], r["doc_id"]) for r in rows] == cand[:3]
+
+    # grouping: twin = exhaustive scores grouped in python
+    scored = {r["doc_id"]: r["score"] for r in
+              reader.score_exhaustive("alpha zeta", k=None).collect()}
+    lang_of = {i: lg for i, _, lg, _ in docs}
+    groups: dict[str, list] = {}
+    for d, s in scored.items():
+        groups.setdefault(lang_of[d], []).append((d, s))
+    for g in groups:
+        groups[g].sort(key=lambda x: (-x[1], x[0]))
+    order = sorted(groups, key=lambda g: (-groups[g][0][1], g))[:2]
+    want_rows = sorted(
+        (g, d, round(s, 8), r + 1)
+        for g in order for r, (d, s) in enumerate(groups[g][:2]))
+    got = sorted(
+        (r["lang"], r["doc_id"], round(r["score"], 8), r["doc_rank"])
+        for r in reader.search_grouped(
+            "alpha zeta", "lang", k_groups=2, k_per_group=2).collect())
+    assert got == want_rows
