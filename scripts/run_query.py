@@ -32,7 +32,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase ranking (Lucene PhraseQuery slop 0);"
                          " requires an index built with positions=True")
+    ap.add_argument("--lucene", action="store_true",
+                    help="parse the query as a Lucene classic string "
+                         "(+must -prohibited term^boost, lone \"phrases\") "
+                         "and run the boolean walk")
     args = ap.parse_args(argv)
+    if args.lucene and (args.phrase or args.exhaustive):
+        ap.error("--lucene cannot be combined with --phrase/--exhaustive "
+                 "(the parser routes phrases itself)")
+    if args.lucene and len(args.query) > 1:
+        ap.error("--lucene cannot be combined with multiple --query")
     if args.phrase and (args.exhaustive or args.distributed is not None):
         ap.error("--phrase cannot be combined with --exhaustive/"
                  "--distributed (the phrase walk is its own path)")
@@ -75,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"queries": args.query, "k": args.k, "hits": by_q}))
         return 0
     query = args.query[0]
+    if args.lucene:
+        hits = reader.search_lucene(query, args.k,
+                                    distributed=args.distributed)
+        print(json.dumps({
+            "query": query, "k": args.k, "mode": "lucene",
+            "hits": [[int(d), float(s)] for d, s in hits],
+        }))
+        return 0
     if args.phrase:
         hits = reader.search_phrase(query, args.k)
         print(json.dumps({

@@ -99,3 +99,37 @@ def test_run_maintain_full_loop(spark, tmp_path, capsys):
     assert dict(r.search_wand("zebra", 5))
     assert dict(r.search_wand("gamma", 5))
     assert all(d < 35 or d >= 40 for d, _ in r.search_wand("alpha", 100))
+
+
+@pytest.mark.parametrize("argv", [
+    ["--index-dir", "/tmp/idx", "--query", "+a -b", "--lucene", "--phrase"],
+    ["--index-dir", "/tmp/idx", "--query", "+a -b", "--lucene",
+     "--exhaustive"],
+    ["--index-dir", "/tmp/idx", "--query", "a", "--query", "b", "--lucene"],
+])
+def test_lucene_flag_rejects_invalid_combinations(argv, capsys):
+    with pytest.raises(SystemExit) as e:
+        _main()(argv)
+    assert e.value.code == 2
+    assert "--lucene" in capsys.readouterr().err
+
+
+def test_run_query_lucene_end_to_end(spark, tmp_path, capsys):
+    """--lucene serves a classic query string through the boolean walk."""
+    import json
+
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    idx = str(tmp_path / "cliluc")
+    docs = spark.createDataFrame(
+        [(i, "alpha " + ("beta " if i % 2 else "") + f"w{i % 5}")
+         for i in range(60)], ["doc_id", "text"])
+    build_index(spark, docs, idx, num_buckets=2, resume=False)
+    rc = _main()(["--index-dir", idx, "--query", "+alpha -beta w1^2",
+                  "--lucene", "--k", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "lucene"
+    want = IndexReader(spark, idx).search_lucene("+alpha -beta w1^2", 5)
+    assert out["hits"] == [[d, s] for d, s in want]
