@@ -955,7 +955,13 @@ class IndexReader:
         if not must_t and not should_t:
             return []
         scored_terms = sorted(set(must_t) | set(should_t))
-        stats = self.term_stats(scored_terms)
+        # ONE termstats scan covers scored AND prohibited terms: the
+        # driver path fetches MUST_NOT postings too (ids-only, but the
+        # bytes still move), so routing must price them in — a cheap
+        # +rare query with a hot "-the" clause belongs on the executors.
+        all_stats = self.term_stats(sorted(set(scored_terms)
+                                           | set(must_not_t)))
+        stats = {t: s for t, s in all_stats.items() if t in set(scored_terms)}
         if any(t not in stats for t in must_t):
             return []  # strict +required: an unindexed MUST term → ∅
         boosts = boosts or {}
@@ -969,11 +975,11 @@ class IndexReader:
         if distributed is None:
             if where is not None:
                 distributed = True
-            elif all(s["bytes"] is not None for s in stats.values()):
-                est = sum(s["bytes"] for s in stats.values())
+            elif all(s["bytes"] is not None for s in all_stats.values()):
+                est = sum(s["bytes"] for s in all_stats.values())
                 distributed = est > self.DISTRIBUTED_FETCH_BYTES
             else:
-                distributed = (sum(s["df"] for s in stats.values())
+                distributed = (sum(s["df"] for s in all_stats.values())
                                > self.DISTRIBUTED_POSTINGS_THRESHOLD)
 
         must_set, should_set = set(must_t), set(should_t)
