@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean": Q.q_bm25_boolean,
         "bm25_sort_field": Q.q_bm25_sort_field,
         "bm25_grouped": Q.q_bm25_grouped,
+        "facet_range": Q.q_facet_range,
+        "field_stats": Q.q_field_stats,
     }
 
 
@@ -682,6 +684,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, round(score, 4) AS score, doc_rank
             FROM ranked JOIN top_groups USING (lang)
             WHERE doc_rank <= 2
+        """,
+        # Solr facet.range over n_chars: every 250-wide bucket in
+        # [0, 2000), zeros included, counts over the OR match set
+        "facet_range": f"""
+            WITH q(term) AS (VALUES {bm25_terms}),
+            matched AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+              WHERE term IN (SELECT term FROM q)
+            ),
+            spine AS (
+              SELECT generate_series::DOUBLE AS bucket_start
+              FROM generate_series(0, 1999, 250)
+            ),
+            counts AS (
+              SELECT 0.0 + floor((n_chars - 0.0) / 250.0) * 250.0
+                       AS bucket_start,
+                     count(*)::BIGINT AS n
+              FROM documents JOIN matched USING (doc_id)
+              WHERE n_chars >= 0 AND n_chars < 2000
+              GROUP BY 1
+            )
+            SELECT spine.bucket_start,
+                   coalesce(counts.n, 0)::BIGINT AS n
+            FROM spine LEFT JOIN counts USING (bucket_start)
+            ORDER BY spine.bucket_start
+        """,
+        # Solr stats.field over n_chars on the same match set
+        "field_stats": f"""
+            WITH q(term) AS (VALUES {bm25_terms}),
+            matched AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+              WHERE term IN (SELECT term FROM q)
+            )
+            SELECT count(*)::BIGINT AS n,
+                   min(n_chars) AS min, max(n_chars) AS max,
+                   sum(n_chars)::BIGINT AS sum,
+                   round(avg(n_chars), 6) AS mean
+            FROM documents JOIN matched USING (doc_id)
         """,
         # Lucene BooleanQuery '+window join^2 -merge': MUST terms gate the
         # match set (HAVING all required), boosted SHOULD terms add

@@ -181,6 +181,8 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "bm25_boolean": Q.q_bm25_boolean,
             "bm25_sort_field": Q.q_bm25_sort_field,
             "bm25_grouped": Q.q_bm25_grouped,
+            "facet_range": Q.q_facet_range,
+            "field_stats": Q.q_field_stats,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

@@ -1137,6 +1137,64 @@ class IndexReader:
             matched = matched.join(tomb, "doc_id", "left_anti")
         return matched
 
+    def facet_range(
+        self, query: str, field: str, start: float, end: float, gap: float,
+        *, mode: str = "or", where: str | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.range``: bucketed counts of a stored numeric field
+        over the query's FULL match set — buckets are ``[start+i·gap,
+        start+(i+1)·gap)`` and EVERY bucket in ``[start, end)`` is
+        returned, zeros included (Solr's contract; the UI draws the empty
+        bars). Declarative: match set ⋈ pruned docstore → floor-bucket →
+        partial-agg count → left join onto a generated bucket spine.
+        Returns (bucket_start, n) ordered by bucket."""
+        if gap <= 0 or end <= start:
+            raise ValueError("facet_range needs gap > 0 and end > start")
+        n_buckets = int(math.ceil((end - start) / gap))
+        spine = self.spark.range(n_buckets).select(
+            (F.lit(float(start)) + F.col("id") * F.lit(float(gap))
+             ).alias("bucket_start"))
+        meta = self.spark.read.parquet(self.paths.docstore).select(
+            "doc_id", field)
+        bucket = (F.lit(float(start)) + F.floor(
+            (F.col(field) - F.lit(float(start))) / F.lit(float(gap))
+        ) * F.lit(float(gap))).alias("bucket_start")
+        counts = (
+            self.matched_docs(query, mode=mode, where=where)
+            .join(meta, "doc_id")
+            .filter((F.col(field) >= start) & (F.col(field) < end))
+            .select(bucket)
+            .groupBy("bucket_start")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            spine.join(counts, "bucket_start", "left")
+            .select("bucket_start",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+            .orderBy("bucket_start")
+        )
+
+    def field_stats(
+        self, query: str, field: str, *, mode: str = "or",
+        where: str | None = None,
+    ) -> DataFrame:
+        """Solr stats component (``stats.field=<f>``): count/min/max/sum/
+        mean of a stored numeric field over the query's full match set —
+        one partial-aggregated pass, one row out."""
+        meta = self.spark.read.parquet(self.paths.docstore).select(
+            "doc_id", field)
+        return (
+            self.matched_docs(query, mode=mode, where=where)
+            .join(meta, "doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.min(field).alias("min"),
+                F.max(field).alias("max"),
+                F.sum(field).alias("sum"),
+                F.round(F.avg(field), 6).alias("mean"),
+            )
+        )
+
     def search_sorted(
         self, query: str, sort_by: str, *, ascending: bool = True,
         k: int = 10, mode: str = "or", where: str | None = None,

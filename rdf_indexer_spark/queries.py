@@ -825,6 +825,26 @@ def q_bm25_grouped(spark, sf):
         "lang", "doc_id", F.round("score", 4).alias("score"), "doc_rank")
 
 
+def q_facet_range(spark, sf):
+    """Solr ``facet.range`` over n_chars: [0, 2000) in 250-wide buckets of
+    the OR match set, zero buckets included (Solr returns every bucket).
+    Oracle: DuckDB generate_series spine + floor-bucket counts."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.facet_range(
+        " ".join(BM25_QUERY_TERMS), "n_chars", 0, 2000, 250)
+
+
+def q_field_stats(spark, sf):
+    """Solr stats component: count/min/max/sum/mean of n_chars over the
+    match set — one aggregated pass."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.field_stats(" ".join(BM25_QUERY_TERMS), "n_chars")
+
+
 MISSPELLED = "sot"  # one edit from the corpus term "sort"
 
 

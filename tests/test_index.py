@@ -1189,3 +1189,40 @@ def test_search_sorted_and_grouped(spark, facet_index_dir):
         for r in reader.search_grouped(
             "alpha zeta", "lang", k_groups=2, k_per_group=2).collect())
     assert got == want_rows
+
+
+def test_facet_range_and_field_stats(spark, tmp_path):
+    """facet.range returns EVERY bucket (zeros included) with floor
+    bucketing and [start,end) bounds; stats.field aggregates the match
+    set. Expectations brute-forced from the corpus spec."""
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    idx = str(tmp_path / "ridx")
+    rows = [(i, "alpha" + (" zeta" if i % 3 == 0 else ""), i * 7 % 100)
+            for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, val long")
+    build_index(spark, docs, idx, num_buckets=2, resume=False,
+                meta_cols=("val",))
+    reader = IndexReader(spark, idx)
+
+    got = [(r["bucket_start"], r["n"]) for r in
+           reader.facet_range("zeta", "val", 0, 100, 20).collect()]
+    vals = [v for i, t, v in rows if "zeta" in t]
+    want = [(float(b), sum(1 for v in vals if b <= v < b + 20))
+            for b in range(0, 100, 20)]
+    assert got == want and len(got) == 5
+    # bounds are [start, end): values at/above end never count, and empty
+    # buckets still appear
+    got = [(r["bucket_start"], r["n"]) for r in
+           reader.facet_range("zeta", "val", 0, 40, 10,
+                              where="doc_id < 9").collect()]
+    sub = [v for i, t, v in rows if "zeta" in t and i < 9]  # docs 0,3,6
+    want = [(float(b), sum(1 for v in sub if b <= v < b + 10))
+            for b in range(0, 40, 10)]
+    assert got == want and any(n == 0 for _, n in got)
+
+    s = reader.field_stats("zeta", "val").collect()[0]
+    assert (s["n"], s["min"], s["max"], s["sum"]) == (
+        len(vals), min(vals), max(vals), sum(vals))
+    assert s["mean"] == round(sum(vals) / len(vals), 6)
