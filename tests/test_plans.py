@@ -225,3 +225,64 @@ def test_compaction_plan_single_shuffle_no_driver_funnel(spark, tmp_path):
     ]
     assert len(hash_exchanges) == 1, plan
     assert "xxhash64" in hash_exchanges[0], plan
+
+
+@pytest.fixture(scope="module")
+def serving_index(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("sidx"))
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 9}" + (" zeta" if i % 3 == 0 else ""),
+          ["en", "fr"][i % 2], i * 7 % 100) for i in range(200)],
+        "doc_id long, text string, lang string, sz long")
+    build_index(spark, docs, out, num_buckets=2, resume=False,
+                meta_cols=("lang", "sz"))
+    return out
+
+
+def test_facet_counts_plan_prunes_and_never_collects(spark, serving_index):
+    """The facet job's docstore scan reads only (part, doc_id, facet
+    fields); nothing in the lineage funnels through the driver."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    df = IndexReader(spark, serving_index).facet_counts("zeta", ["lang"])
+    plan = _plan(df)
+    low = plan.lower()
+    assert "collectlimit" not in low and "takeordered" not in low
+    doc_scans = [ln for ln in plan.splitlines()
+                 if "docstore" in ln and "ReadSchema" in ln]
+    assert doc_scans
+    for ln in doc_scans:
+        rs = ln.split("ReadSchema")[-1]
+        assert "content_sha256" not in rs and "sz" not in rs, ln
+
+
+def test_search_sorted_plan_is_takeordered_with_pruned_scans(
+        spark, serving_index):
+    """sort=field is a global top-k: TakeOrdered (k rows move), the
+    docstore metadata scan pruned to (doc_id, sort field)."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    df = IndexReader(spark, serving_index).search_sorted("zeta", "sz", k=5)
+    plan = _plan(df)
+    assert "TakeOrdered" in plan
+    doc_scans = [ln for ln in plan.splitlines()
+                 if "docstore" in ln and "ReadSchema" in ln]
+    for ln in doc_scans:
+        rs = ln.split("ReadSchema")[-1]
+        assert "lang" not in rs and "content_sha256" not in rs, ln
+
+
+def test_facet_range_plan_broadcasts_counts_onto_spine(spark, serving_index):
+    """The bucket spine join must broadcast (both sides are tiny — the
+    spine is n_buckets rows, the counts at most that); a shuffled
+    sort-merge join here would put two exchanges on a 10-row join."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    df = IndexReader(spark, serving_index).facet_range(
+        "zeta", "sz", 0, 100, 10)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
