@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH / sketch / parse-layer ops (oracle-checked since r2)
         "minhash_neardup": Q.q_minhash_neardup,
         "simhash_neardup": Q.q_simhash_neardup,
+        "embed_neardup": Q.q_embed_neardup,
         "langid": Q.q_langid,
         "fingerprints": Q.q_fingerprints,
         "ann_lsh": Q.q_ann_lsh,
@@ -979,6 +980,38 @@ def oracle_sql() -> dict[str, str]:
               FROM g a JOIN g b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "embed_neardup": """
+            -- dense-vector member of the dedup family: brute-force all-pairs
+            -- cosine >= 0.9 over the embeddings table + 60 planted near-dups
+            -- (vec_id < 60 copied as vec_id+100000, per-dim scale
+            -- 1 + ((vec_id+i) mod 5)*0.02 — the synthetic embeddings are
+            -- near-orthogonal, max background pair cosine ~0.51, so the
+            -- planted pairs at ~0.9996 are the complete answer set). The
+            -- engine generates candidates by hyperplane-LSH banding and
+            -- verifies exactly; recall == 1 on this deterministic corpus is
+            -- asserted in tests/test_similarity.py. DuckDB lambda index i is
+            -- 1-based, Spark transform() is 0-based — hence (i - 1).
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            aug AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(e, (x, i) ->
+                       x * (1.0 + ((vec_id + i - 1) % 5) * 0.02)) AS e
+              FROM base WHERE vec_id < 60
+            ),
+            corpus AS (
+              SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM aug
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e) /
+                         (sqrt(list_dot_product(a.e, a.e)) *
+                          sqrt(list_dot_product(b.e, b.e))), 5) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(b.e, b.e))) >= 0.9
         """,
         "simhash_neardup": f"""
             -- 60-bit simhash recomputed from scratch: per-token md5-60

@@ -583,6 +583,37 @@ def q_simhash_neardup(spark, sf):
     return simhash_near_duplicates(load(spark, sf, "documents"), max_hamming=8)
 
 
+def q_embed_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.9) over the embeddings
+    table augmented with 60 deterministic planted near-duplicates — the
+    synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
+    so the dup signal is planted in-query with pure double arithmetic that
+    Spark and the DuckDB oracle both state verbatim: copy vec_id < 60 as
+    vec_id+100000 with per-dim scaling 1 + ((vec_id+i) mod 5)·0.02 (planted
+    cosine ≈ 0.9996). Candidates via hyperplane-LSH banding, exact verify;
+    oracle is brute-force all-pairs cosine."""
+    from .similarity import embedding_near_duplicates
+
+    base = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x * (
+            F.lit(1.0)
+            + ((F.col("vec_id") + i) % 5).cast("double") * F.lit(0.02)
+        ),
+    )
+    aug = base.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    corpus = base.unionByName(aug)
+    dim = len(base.select("embedding").head()[0])
+    return embedding_near_duplicates(corpus, dim=dim, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 5).alias("cosine")
+    )
+
+
 def q_langid(spark, sf):
     from .textops import language_id
 

@@ -140,6 +140,65 @@ def lsh_index(
     return out
 
 
+def embedding_near_duplicates(
+    df: DataFrame, dim: int, threshold: float = 0.9,
+    n_tables: int = 6, n_bits: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    The dense-vector member of the dedup family (exact / MinHash / SimHash /
+    n-gram live in textops.py). Same plan shape as the MinHash operator:
+
+    1. **Candidates** — hyperplane-LSH banding (:func:`lsh_index`): each
+       vector gets ``n_tables`` sign signatures of ``n_bits`` bits; a pair is
+       a candidate iff it collides in ≥ 1 table. The self-join is an
+       equi-join on ``(table, signature)`` — never O(n²). A hot-bucket guard
+       (``max_bucket``) drops degenerate buckets (e.g. a mass of zero-ish
+       vectors) before the quadratic join, exactly like the MinHash band
+       guard; pairs in a dropped bucket still surface via their other tables.
+    2. **Dedup** — bare ``(id_a, id_b)`` pairs, payload-free shuffle.
+    3. **Verify** — re-join the vectors for surviving candidates only and
+       keep pairs whose EXACT double-precision cosine ≥ ``threshold``.
+
+    Miss probability per qualifying pair is ``(1 − p^n_bits)^n_tables`` with
+    ``p = 1 − θ/π`` (Charikar 2002); at the defaults and cosine 0.9996 (the
+    planted near-dup operating point) that is ≈ 1.2·10⁻⁶, and on the
+    deterministic sandbox corpus recall is exactly 1 (asserted in
+    tests/test_similarity.py), so output ≡ the brute-force all-pairs oracle.
+    At 10^12 scale the verify cost is |candidates| · O(dim), and candidates
+    are ~(n_tables / 2^n_bits) of all pairs for near-orthogonal mass."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    idx = lsh_index(base, dim=dim, n_tables=n_tables, n_bits=n_bits).select(
+        "table", "signature", "vec_id"
+    )
+    sizes = idx.groupBy("table", "signature").agg(F.count("*").alias("_bn"))
+    idx = idx.join(
+        sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+        ["table", "signature"],
+    )
+    left = idx.select("table", "signature", F.col("vec_id").alias("id_a"))
+    right = idx.select("table", "signature", F.col("vec_id").alias("id_b"))
+    cand = (
+        left.join(right, ["table", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    eb = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (_norm(F.col("_ea")) * _norm(F.col("_eb")))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_batch(
     df: DataFrame, queries_df: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -205,3 +205,42 @@ def test_recall_timing_split_and_oracle_reuse(spark):
     assert a == b
     assert "oracle" not in t_ivf and "index_path" in t_ivf
     oracle.unpersist()
+
+
+def test_embed_neardup_recall_is_one(spark, vecs):
+    """embedding_near_duplicates ≡ numpy brute force on a corpus with
+    planted near-dups (the CORRECTNESS contract: LSH candidates must reach
+    recall 1 on the deterministic corpus so output == all-pairs oracle)."""
+    from rdf_indexer_spark.similarity import embedding_near_duplicates
+
+    rows, df = vecs
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 5))
+        for r in embedding_near_duplicates(df, dim=16, threshold=0.9).collect()
+    )
+    mat = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    x = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = x @ x.T
+    want = sorted(
+        (ids[i], ids[j], round(float(sim[i, j]), 5))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if sim[i, j] >= 0.9
+    )
+    assert want, "fixture must contain at least one planted near-dup pair"
+    assert got == want
+
+
+def test_embed_neardup_hot_bucket_guard(spark):
+    """A degenerate bucket (many identical vectors) larger than max_bucket is
+    dropped from the banding join; pairs it contained are NOT reported unless
+    another table catches them — with every table seeing the same identical
+    signature, a 1-vector cap must yield zero pairs instead of an O(n²) join."""
+    from rdf_indexer_spark.similarity import embedding_near_duplicates
+
+    rows = [(i, [1.0] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(df, dim=8, threshold=0.9, max_bucket=1)
+    assert out.count() == 0
+    full = embedding_near_duplicates(df, dim=8, threshold=0.9, max_bucket=256)
+    assert full.count() == 20 * 19 // 2
