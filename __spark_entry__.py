@@ -102,6 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_grouped": Q.q_bm25_grouped,
         "facet_range": Q.q_facet_range,
         "field_stats": Q.q_field_stats,
+        # Lucene multi-term + sloppy-phrase clauses (r5): dictionary
+        # expansion (wildcard/fuzzy) and ordered near-match phrases
+        "bm25_wildcard": Q.q_bm25_wildcard,
+        "bm25_fuzzy": Q.q_bm25_fuzzy,
+        "bm25_phrase_slop": Q.q_bm25_phrase_slop,
     }
 
 
@@ -358,6 +363,141 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
 
+    # bm25_wildcard oracle ("+s* query"): restate BOTH stages — (1) the
+    # dictionary expansion with the engine's anchored regex translation
+    # (wildcard_regex("s*") == '^s.*$') and its deterministic
+    # (df desc, term asc) top-128 cap, (2) the grouped BooleanQuery: a doc
+    # matches iff ≥1 expanded term is present (the MUST group), and every
+    # PRESENT scored term (expanded ∪ the SHOULD literal) contributes its
+    # own idf·tf-saturation — Lucene's SCORING_BOOLEAN_REWRITE.
+    bm25_wildcard_sql = f"""
+        WITH tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        dict AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+          FROM tokd GROUP BY term
+        ),
+        exp AS (
+          SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+            FROM dict WHERE regexp_matches(term, '^s.*$')
+          ) WHERE rn <= 128
+        ),
+        scored(term) AS (SELECT term FROM exp UNION SELECT 'query'),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM scored) GROUP BY doc_id, term
+        ),
+        gate AS (
+          SELECT DISTINCT doc_id FROM tokd
+          WHERE term IN (SELECT term FROM exp)
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN dict USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id, round(score, 4) AS score
+        FROM scores s JOIN gate USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # bm25_fuzzy oracle ("part~2 window"): expansion = dictionary terms
+    # within 2 CLASSIC Levenshtein edits of 'part' (DuckDB's levenshtein
+    # is the same classic edit distance as Spark's), capped top-50 by
+    # (dist asc, df desc, term asc); then plain OR BM25 over expanded ∪
+    # the literal SHOULD term, each with its own idf.
+    bm25_fuzzy_sql = f"""
+        WITH tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        dict AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+          FROM tokd GROUP BY term
+        ),
+        exp AS (
+          SELECT term FROM (
+            SELECT term, row_number() OVER (
+              ORDER BY levenshtein(term, 'part') ASC, df DESC, term ASC
+            ) AS rn
+            FROM dict WHERE levenshtein(term, 'part') <= 2
+          ) WHERE rn <= 50
+        ),
+        scored(term) AS (SELECT term FROM exp UNION SELECT 'window'),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM scored) GROUP BY doc_id, term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN dict USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # bm25_phrase_slop oracle ('"table hash"~2'): ordered near-match with
+    # greedy chains — for each 'table' position the MIN following 'hash'
+    # position is the width-optimal chain for that start (greedy), so
+    # pf = count of starts whose width (bpos − pos − 1 intervening) ≤ 2;
+    # scoring identical to the exact-phrase oracle (Σ idf with
+    # multiplicity, every phrase term required).
+    bm25_slop_sql = f"""
+        WITH tokp AS (
+          SELECT doc_id, unnest({tok}) AS term,
+                 generate_subscripts({tok}, 1) AS pos
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+          WHERE term IN ('table', 'hash') GROUP BY term
+        ),
+        idf AS (
+          SELECT sum(ln(1 + (n - df + 0.5) / (df + 0.5))) AS idf_sum,
+                 count(*) AS terms_present
+          FROM df CROSS JOIN stats
+        ),
+        starts AS (
+          SELECT a.doc_id, a.pos, min(b.pos) AS bpos
+          FROM tokp a
+          JOIN tokp b ON a.doc_id = b.doc_id AND b.pos > a.pos
+          WHERE a.term = 'table' AND b.term = 'hash'
+          GROUP BY a.doc_id, a.pos
+        ),
+        pf AS (
+          SELECT doc_id, count(*)::DOUBLE AS pf FROM starts
+          WHERE bpos - pos - 1 <= 2 GROUP BY doc_id
+        ),
+        scores AS (
+          SELECT pf.doc_id,
+                 idf_sum * pf
+                 / (pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS score
+          FROM pf
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          CROSS JOIN idf
+          WHERE terms_present = 2
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
     bm25_and_sql = f"""
         WITH q(term) AS (VALUES ('table'), ('query'), ('filter')),
         tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
@@ -602,6 +742,10 @@ def oracle_sql() -> dict[str, str]:
         # exact phrase over the positional index vs the from-scratch
         # positional SQL restatement (slot-adjacency self-join)
         "bm25_topk_phrase": bm25_phrase_sql,
+        # multi-term clause expansion + sloppy phrase (r5)
+        "bm25_wildcard": bm25_wildcard_sql,
+        "bm25_fuzzy": bm25_fuzzy_sql,
+        "bm25_phrase_slop": bm25_slop_sql,
         # index mutation (update_documents = delete+append) vs the
         # two-version-corpus SQL restatement (deleted-docs statistics)
         "bm25_after_update": bm25_update_sql,

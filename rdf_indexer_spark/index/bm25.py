@@ -43,6 +43,7 @@ from __future__ import annotations
 import heapq
 import math
 import os
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -278,7 +279,7 @@ class IndexReader:
 
     def search_phrase(
         self, phrase: str, k: int = 10, *, where: str | None = None,
-        distributed: bool | None = None,
+        distributed: bool | None = None, slop: int = 0,
     ) -> list[tuple[int, float]]:
         """Exact-phrase top-k over a POSITIONAL index (Q-9 extension; the
         capability delta VERDICT r4 ranked #2 — Lucene phrase queries work
@@ -293,6 +294,15 @@ class IndexReader:
         required, so an index-absent term matches nothing. Tie-break
         (score desc, doc_id asc); tombstones + optional fq ``where`` as in
         :meth:`search_wand`.
+
+        ``slop`` (the classic parser's ``"a b"~N``) relaxes matching to
+        ORDERED near-match — Lucene SpanNearQuery(inOrder=true, slop)
+        semantics, NOT classic PhraseQuery's transposing sloppy scorer:
+        a match is an in-order occurrence of all phrase terms with at
+        most ``slop`` intervening positions total, pf counts match start
+        positions unweighted (vs Lucene's 1/(distance+1) weights). Both
+        deviations documented; :func:`_phrase_freq` defines the contract
+        and the DuckDB oracle restates it (``bm25_phrase_slop``).
 
         ``distributed=None`` auto-routes like :meth:`search`: the per-part
         executor walk (:meth:`search_phrase_distributed`) unless the
@@ -330,7 +340,7 @@ class IndexReader:
         self.last_path = "distributed" if distributed else "driver"
         if distributed:
             return self._phrase_walk_distributed(
-                terms, uniq, idfs, idf_sum, k, where)
+                terms, uniq, idfs, idf_sum, k, where, slop)
         allowed = self.allowed_ids(where)
         blocks = self.fetch_blocks(uniq, with_positions=True)
         if any(t not in blocks for t in uniq):
@@ -340,10 +350,12 @@ class IndexReader:
             for t in uniq
         }
         return _phrase_topk(terms, cursors, idf_sum, k, self.avgdl,
-                            deleted=self.tombstones, allowed=allowed)
+                            deleted=self.tombstones, allowed=allowed,
+                            slop=slop)
 
     def search_phrase_distributed(
         self, phrase: str, k: int = 10, *, where: str | None = None,
+        slop: int = 0,
     ) -> list[tuple[int, float]]:
         """Exact-phrase top-k with the position-list leapfrog ON THE
         EXECUTORS — the cluster-scale phrase shape, mirroring
@@ -363,7 +375,7 @@ class IndexReader:
         idfs = {t: self._idf(stats[t]["df"]) for t in uniq}
         idf_sum = sum(idfs[t] for t in terms)
         return self._phrase_walk_distributed(terms, uniq, idfs, idf_sum,
-                                             k, where)
+                                             k, where, slop)
 
     def _require_positional(self) -> None:
         """Raise unless the blocks carry real positional payloads (cached
@@ -385,7 +397,7 @@ class IndexReader:
 
     def _phrase_walk_distributed(
         self, terms: list[str], uniq: list[str], idfs: dict[str, float],
-        idf_sum: float, k: int, where: str | None,
+        idf_sum: float, k: int, where: str | None, slop: int = 0,
     ) -> list[tuple[int, float]]:
         self._require_positional()
         avgdl = self.avgdl
@@ -418,7 +430,8 @@ class IndexReader:
                 t: _Cursor(t, idfs[t], by_term[t], avgdl) for t in uniq
             }
             hits = _phrase_topk(terms, cursors, idf_sum, k, avgdl,
-                                deleted=tomb_bc.value, allowed=allow)
+                                deleted=tomb_bc.value, allowed=allow,
+                                slop=slop)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in hits],
                  "score": [s for _, s in hits]},
@@ -926,6 +939,71 @@ class IndexReader:
             .limit(top)
         )
 
+    MAX_WILDCARD_EXPANSIONS = 128
+    MAX_FUZZY_EXPANSIONS = 50  # Lucene FuzzyQuery's maxExpansions default
+
+    def expand_wildcard(
+        self, pattern: str, *, max_expansions: int | None = None,
+    ) -> list[str]:
+        """Expand a Lucene wildcard pattern (``*``/``?``) against the term
+        dictionary: the substrate of ``search_lucene``'s WildcardQuery
+        support under the SCORING_BOOLEAN_REWRITE (each expanded term
+        scores with its own idf), capped deterministically at the
+        ``max_expansions`` highest-df terms (ties term-asc) — Lucene's
+        TopTermsRewrite posture without the 1024-clause blowup.
+
+        Scale shape: ONE termstats scan (vocab-sized, no postings). A
+        literal prefix before the first wildcard becomes a
+        ``startswith`` predicate (parquet-pushable ``StringStartsWith``
+        — the dictionary scan prunes by row-group range like Lucene's
+        FST prefix seek) with the full anchored regex as the residual."""
+        from .qparse import wildcard_regex
+
+        cap = max_expansions or self.MAX_WILDCARD_EXPANSIONS
+        pat = pattern.lower()
+        rx = wildcard_regex(pat)
+        ts = self.spark.read.parquet(self.paths.termstats)
+        cond = F.col("term").rlike(rx)
+        prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
+        rows = (
+            ts.select("term", "df").filter(cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(cap).collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 2, *,
+        max_expansions: int | None = None,
+    ) -> list[str]:
+        """Expand a fuzzy term (``term~N``) against the term dictionary:
+        candidate terms within ``max_edits`` CLASSIC Levenshtein edits
+        (transpositions cost 2 — deviation from Lucene's default
+        ``transpositions=true``, documented in qparse), the exact term
+        included when indexed (distance 0, as Lucene's FuzzyQuery does).
+        Capped deterministically at ``max_expansions`` by (distance asc,
+        df desc, term asc) — the TopTerms shape of Lucene's fuzzy rewrite
+        with a plain-df rank instead of blended boosts (deviation
+        documented; each expanded term then scores with its own idf).
+
+        Scale shape: ONE termstats scan with the same length-band
+        prefilter as :meth:`suggest` (Column algebra skips most of the
+        dictionary before the JVM levenshtein kernel)."""
+        cap = max_expansions or self.MAX_FUZZY_EXPANSIONS
+        q = term.lower()
+        ts = self.spark.read.parquet(self.paths.termstats)
+        rows = (
+            ts.select("term", "df")
+            .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .filter(F.col("dist") <= max_edits)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(cap).collect()
+        )
+        return [r["term"] for r in rows]
+
     def search_boolean(
         self, must: list[str] = (), should: list[str] = (),
         must_not: list[str] = (), *, boosts: dict[str, float] | None = None,
@@ -1069,37 +1147,218 @@ class IndexReader:
         return [(int(r["doc_id"]), float(r["score"]))
                 for r in merged_rows[:k]]
 
+    def search_grouped_boolean(
+        self, groups: list[tuple[list[str], float]],
+        should: list[str] = (), must_not: list[str] = (), *,
+        boosts: dict[str, float] | None = None, k: int = 10,
+        where: str | None = None, distributed: bool | None = None,
+    ) -> list[tuple[int, float]]:
+        """BooleanQuery whose MUST side is a list of at-least-one-of term
+        GROUPS — Lucene's ``+(a b c)`` shape, the rewrite target of MUST
+        wildcard/fuzzy clauses (:meth:`search_lucene` routes them here; a
+        plain MUST term arrives as a singleton group). Each group entry is
+        ``(terms, boost)``: the group gates matching (≥1 member present),
+        every PRESENT member contributes ``boost·idf(t)·tf/(tf+K(dl))``,
+        and a group with NO index-present member means the whole query
+        matches nothing (Lucene: an empty rewritten MUST clause is
+        MatchNoDocs). SHOULD / MUST_NOT / ``boosts`` / ``where`` behave as
+        in :meth:`search_boolean`; routing uses the same byte estimate
+        over ALL touched terms, and the distributed path runs the grouped
+        walk per part bucket with the standard ≤ parts·k driver merge."""
+        norm = lambda xs: [t for x in xs for t in tokenize(x)]  # noqa: E731
+        groups_t: list[tuple[list[str], float]] = [
+            (sorted(set(norm(g))), float(b)) for g, b in groups
+        ]
+        if any(not g for g, _ in groups_t):
+            return []
+        must_not_t = sorted(set(norm(must_not)))
+        group_terms = sorted({t for g, _ in groups_t for t in g})
+        should_t = sorted(set(norm(should)) - set(group_terms))
+        stat_terms = sorted(set(group_terms) | set(should_t)
+                            | set(must_not_t))
+        all_stats = self.term_stats(stat_terms)
+        # drop index-absent members; an emptied group → MatchNoDocs
+        groups_t = [([t for t in g if t in all_stats], b)
+                    for g, b in groups_t]
+        if any(not g for g, _ in groups_t):
+            return []
+        boosts = boosts or {}
+        base_idfs = {t: self._idf(s["df"]) for t, s in all_stats.items()
+                     if t in set(group_terms) | set(should_t)}
+        should_idfs = {t: base_idfs[t] * float(boosts.get(t, 1.0))
+                       for t in should_t if t in base_idfs}
+        fetch_terms = sorted({t for g, _ in groups_t for t in g}
+                             | set(should_idfs) | set(must_not_t))
+        avgdl = self.avgdl
+        if distributed is None:
+            if where is not None:
+                distributed = True
+            elif all(s["bytes"] is not None for s in all_stats.values()):
+                est = sum(s["bytes"] for s in all_stats.values())
+                distributed = est > self.DISTRIBUTED_FETCH_BYTES
+            else:
+                distributed = (sum(s["df"] for s in all_stats.values())
+                               > self.DISTRIBUTED_POSTINGS_THRESHOLD)
+        self.last_path = "distributed" if distributed else "driver"
+        mn_set = set(must_not_t)
+
+        def _mk_cursors(by_term: dict[str, list]):
+            gs = [
+                [_Cursor(t, base_idfs[t] * b, by_term[t], avgdl)
+                 for t in g if t in by_term]
+                for g, b in groups_t
+            ]
+            sc = [_Cursor(t, should_idfs[t], by_term[t], avgdl)
+                  for t in sorted(should_idfs) if t in by_term]
+            return gs, sc
+
+        if not distributed:
+            allowed = self.allowed_ids(where)
+            blocks = self.fetch_blocks(fetch_terms)
+            excluded = _excluded_ids(
+                [r for t in must_not_t for r in blocks.get(t, [])])
+            merged = _merge_deleted(self.tombstones, excluded)
+            gs, sc = _mk_cursors(blocks)
+            return _grouped_topk(gs, sc, k, deleted=merged, allowed=allowed)
+
+        tomb_bc = self._tomb_bc
+        blocks_df = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(fetch_terms))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+        )
+
+        def _walk(pdf, allow):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")})
+            if allow is not None and len(allow) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            if not by_term:
+                return empty
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            excluded = _excluded_ids(
+                [r for t in mn_set for r in by_term.get(t, [])])
+            merged = _merge_deleted(tomb_bc.value, excluded)
+            gs, sc = _mk_cursors(by_term)
+            hits = _grouped_topk(gs, sc, k, deleted=merged, allowed=allow)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in hits],
+                 "score": [s for _, s in hits]},
+                columns=["doc_id", "score"],
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        out_schema = "doc_id long, score double"
+        if where is None:
+            local = blocks_df.groupBy("part").applyInPandas(
+                lambda pdf: _walk(pdf, None), schema=out_schema
+            ).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk(bl_pdf, allow)
+
+            local = (
+                blocks_df.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_filtered, schema=out_schema)
+                .collect()
+            )
+        merged_rows = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))
+        return [(int(r["doc_id"]), float(r["score"]))
+                for r in merged_rows[:k]]
+
     def search_lucene(
         self, q: str, k: int = 10, *, where: str | None = None,
         distributed: bool | None = None,
     ) -> list[tuple[int, float]]:
         """Search with Lucene classic query syntax (the Solr ``q`` string
         the reference's production surface speaks): ``+required``,
-        ``-prohibited``, ``"exact phrase"``, ``term^boost`` — parsed by
-        :mod:`.qparse` and routed onto the native walks.
+        ``-prohibited``, ``"exact phrase"`` (+ ``~slop``), ``term^boost``,
+        ``wild*ard`` and ``fuzzy~N`` — parsed by :mod:`.qparse` and routed
+        onto the native walks.
+
+        Multi-term clauses (wildcard/fuzzy) expand against the term
+        dictionary (:meth:`expand_wildcard` / :meth:`expand_fuzzy`, one
+        termstats scan each, deterministic top-df caps): SHOULD expansions
+        join the should list, MUST_NOT expansions the prohibited list, and
+        MUST expansions become at-least-one-of groups on the grouped walk
+        (:meth:`search_grouped_boolean`) — Lucene's SCORING_BOOLEAN
+        rewrite, every expanded term scoring with its own idf under the
+        clause's boost.
 
         Routing: a lone phrase clause (no boolean clauses, boost 1) runs
-        the positional phrase walk; any mix of term clauses runs
-        :meth:`search_boolean`. Phrase clauses COMBINED with boolean
-        clauses are not yet executable in one walk and raise
+        the positional phrase walk (slop honored); any mix of term clauses
+        runs :meth:`search_boolean` (or the grouped walk when MUST
+        expansions exist). Phrase clauses COMBINED with boolean clauses
+        are not yet executable in one walk and raise
         ``NotImplementedError`` (the honest boundary — Lucene interleaves
         them inside one scorer tree)."""
         from .qparse import parse_query
 
         p = parse_query(q)
         if p.phrases:
-            if p.must or p.should or p.must_not or len(p.phrases) > 1:
+            if (p.must or p.should or p.must_not or p.wildcards
+                    or p.fuzzies or len(p.phrases) > 1):
                 raise NotImplementedError(
                     "phrase clauses cannot yet be combined with other "
                     "clauses; run the phrase and the boolean parts as "
                     "separate queries")
-            toks, _required, boost = p.phrases[0]
+            toks, _required, boost, slop = p.phrases[0]
             if boost != 1.0:
                 raise NotImplementedError("phrase boosts not supported")
-            return self.search_phrase(" ".join(toks), k, where=where)
+            return self.search_phrase(" ".join(toks), k, where=where,
+                                      slop=slop)
+        should = [t for t, _ in p.should]
+        must_not = list(p.must_not)
+        boosts = dict(p.boosts)
+        must_groups: list[tuple[list[str], float]] = []
+        expansions = (
+            [(self.expand_wildcard(pat), occ, b)
+             for pat, occ, b in p.wildcards]
+            + [(self.expand_fuzzy(t, e), occ, b)
+               for t, e, occ, b in p.fuzzies]
+        )
+        for exp, occ, b in expansions:
+            if occ == "-":
+                must_not.extend(exp)
+            elif occ == "+":
+                if not exp:
+                    return []  # empty rewritten MUST clause: MatchNoDocs
+                must_groups.append((exp, b))
+            else:
+                should.extend(exp)
+                if b != 1.0:
+                    for t in exp:
+                        boosts.setdefault(t, b)
+        if must_groups:
+            # plain MUST terms ride as singleton groups, dedup first-boost-
+            # wins, SORTED — the same group order the SQL-surface twin
+            # builds, so float summation order (and thus scores to the ulp)
+            # agree across surfaces
+            must_dedup: dict[str, float] = {}
+            for t, b in p.must:
+                must_dedup.setdefault(t, b)
+            must_groups = ([([t], b) for t, b in sorted(must_dedup.items())]
+                           + must_groups)
+            return self.search_grouped_boolean(
+                must_groups, should, must_not, boosts=boosts, k=k,
+                where=where, distributed=distributed)
         return self.search_boolean(
-            [t for t, _ in p.must], [t for t, _ in p.should], p.must_not,
-            boosts=p.boosts, k=k, where=where, distributed=distributed)
+            [t for t, _ in p.must], should, must_not,
+            boosts=boosts, k=k, where=where, distributed=distributed)
 
     def matched_docs(
         self, query: str, *, mode: str = "or", where: str | None = None,
@@ -1623,6 +1882,78 @@ def _boolean_topk(
     return [(-d, s) for s, d in out]
 
 
+def _grouped_topk(
+    groups: list[list["_Cursor"]], should: list["_Cursor"], k: int,
+    deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Generalized MUST walk for expanded multi-term clauses (wildcard /
+    fuzzy): each group is an at-least-one-of disjunction and EVERY group
+    must be satisfied — the match set is ∩_g (∪_{t∈g} postings(t)), i.e.
+    Lucene's ``+(a b c)`` nested-BooleanQuery shape after a MultiTermQuery
+    rewrite. A plain MUST term is a singleton group, so this walk strictly
+    generalizes :func:`_boolean_topk`'s intersection.
+
+    Leapfrog over VIRTUAL group cursors: a group's current doc is the min
+    over its members (exhausted members report the sentinel); lagging
+    groups ``next_geq`` to the max. At an aligned doc the score sums every
+    aligned member's contribution (members sorted by term within a group,
+    groups in caller order — the fixed float-summation order the
+    determinism discipline requires), plus SHOULD riders exactly as in
+    :func:`_boolean_topk`. MUST_NOT is handled upstream via ``deleted``.
+    Same (score desc, doc_id asc) tie-break as every walk."""
+    if k <= 0 or not groups or any(not g for g in groups):
+        return []
+    heap: list[tuple[float, int]] = []
+
+    def offer(doc: int, score: float) -> None:
+        if _in_sorted(deleted, doc):
+            return
+        if allowed is not None and not _in_sorted(allowed, doc):
+            return
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    def g_doc(g: list["_Cursor"]) -> int:
+        return min(c.cur_doc for c in g)  # exhausted → sentinel 1 << 62
+
+    sentinel = 1 << 62
+    should_sorted = sorted(should, key=lambda c: c.term)
+    while True:
+        target = max(g_doc(g) for g in groups)
+        if target >= sentinel:
+            break  # some group fully exhausted: no further matches
+        aligned = True
+        for g in groups:
+            for c in g:
+                if not c.exhausted and c.cur_doc < target:
+                    c.next_geq(target)
+            if g_doc(g) != target:
+                aligned = False
+        if not aligned:
+            continue  # next_geq strictly advanced a group past target
+        score = 0.0
+        for g in groups:
+            for c in sorted(g, key=lambda c: c.term):
+                if not c.exhausted and c.cur_doc == target:
+                    score += c.contribution()
+        for c in should_sorted:
+            if not c.exhausted and c.cur_doc < target:
+                c.next_geq(target)
+            if not c.exhausted and c.cur_doc == target:
+                score += c.contribution()
+        offer(target, score)
+        for g in groups:
+            for c in g:
+                if not c.exhausted and c.cur_doc == target:
+                    c.advance()
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
+
+
 def _excluded_ids(recs: list) -> np.ndarray:
     """Sorted unique doc ids from a list of block records (Row or dict) —
     the MUST_NOT exclusion set, decoded ids-only (no tf/dl)."""
@@ -1640,29 +1971,62 @@ def _merge_deleted(a: np.ndarray | None, b: np.ndarray) -> np.ndarray | None:
     return np.union1d(a, b)
 
 
-def _phrase_freq(terms: list[str], cursors: dict[str, "_Cursor"]) -> int:
-    """Phrase frequency at the doc all cursors are aligned on: the count of
-    start positions p with term_i at p+i for every phrase slot — an
-    intersection of the slot-shifted (sorted, unique) position lists,
-    shortest-circuit on empty."""
-    base: np.ndarray | None = None
-    for i, t in enumerate(terms):
-        p = cursors[t].cur_positions() - i
-        base = p if base is None else np.intersect1d(
-            base, p, assume_unique=True)
-        if base.size == 0:
+def _phrase_freq(terms: list[str], cursors: dict[str, "_Cursor"],
+                 slop: int = 0) -> int:
+    """Phrase frequency at the doc all cursors are aligned on.
+
+    ``slop=0`` (exact, Lucene PhraseQuery): the count of start positions p
+    with term_i at p+i for every phrase slot — an intersection of the
+    slot-shifted (sorted, unique) position lists, short-circuit on empty.
+
+    ``slop>0`` (sloppy): ORDERED near-match semantics — Lucene
+    SpanNearQuery(inOrder=true, slop) rather than classic PhraseQuery's
+    transposing sloppy scorer (documented deviation; the classic parser's
+    ``"a b"~N`` maps here). A match anchored at a start position q of
+    term_0 exists iff the GREEDY chain (each next term at its smallest
+    position strictly greater than the previous slot's) spans ≤ slop
+    intervening non-matched positions: width = p_last − q − (m−1) ≤ slop.
+    Greedy minimizes the final position for a given start, so it decides
+    existence exactly; pf = number of matching start positions, unweighted
+    (vs Lucene's 1/(distance+1) weighting — deviation documented in
+    ``IndexReader.search_phrase``). Degenerates to the exact count at
+    slop=0 (asserted in tests)."""
+    if slop == 0:
+        base: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            p = cursors[t].cur_positions() - i
+            base = p if base is None else np.intersect1d(
+                base, p, assume_unique=True)
+            if base.size == 0:
+                return 0
+        return int(base.size)
+    pos_lists = [cursors[t].cur_positions() for t in terms]
+    starts = pos_lists[0].astype(np.int64)
+    prev = starts
+    alive = np.ones(len(starts), dtype=bool)
+    for p in pos_lists[1:]:
+        idx = np.searchsorted(p, prev, side="right")
+        ok = idx < len(p)
+        alive &= ok
+        prev = np.where(ok, p[np.minimum(idx, len(p) - 1)], prev)
+        if not alive.any():
             return 0
-    return int(base.size)
+    width = prev - starts - (len(terms) - 1)
+    return int(np.count_nonzero(alive & (width <= slop)))
 
 
 def _phrase_topk(
     terms: list[str], cursors: dict[str, "_Cursor"], idf_sum: float,
     k: int, avgdl: float,
     deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
-    """Exact phrase top-k: conjunctive leapfrog over the distinct terms'
+    """Phrase top-k: conjunctive leapfrog over the distinct terms'
     cursors (same loop as :func:`_and_topk`), position verification +
-    phrase-frequency scoring only at aligned docs."""
+    phrase-frequency scoring only at aligned docs. ``slop`` relaxes the
+    position check to ordered near-match (see :func:`_phrase_freq`) — the
+    AND prefilter is unchanged (every phrase term must occur in the doc
+    regardless of slop)."""
     cs = list(cursors.values())
     if k <= 0 or not cs:
         return []
@@ -1689,7 +2053,7 @@ def _phrase_topk(
         if any(c.exhausted for c in cs):
             break
         if all(c.cur_doc == target for c in cs):
-            pf = _phrase_freq(terms, cursors)
+            pf = _phrase_freq(terms, cursors, slop)
             if pf:
                 c0 = cs[0]
                 dl = float(c0.dls[c0.pos])

@@ -84,35 +84,99 @@ def _allowed_local(index_dir: str, where: str | None) -> np.ndarray | None:
     return np.sort(np.asarray(ids, dtype=np.int64))
 
 
+def _expand_local(index_dir: str, p) -> list[tuple[list[str], str, float]]:
+    """Worker-side wildcard/fuzzy expansion against the term dictionary —
+    the SQL-surface twin of ``IndexReader.expand_wildcard`` /
+    ``expand_fuzzy``: no SparkSession on the worker, so the termstats scan
+    runs in DuckDB over the dictionary parquet with the SAME anchored
+    regex / classic-levenshtein predicates and the SAME deterministic
+    (rank, df desc, term asc) caps, so the SQL surface stays rank- and
+    score-identical to the driver path (asserted in tests). Returns one
+    ``(expanded_terms, occur, boost)`` entry per multi-term clause."""
+    if not p.wildcards and not p.fuzzies:
+        return []
+    import duckdb
+
+    from .bm25 import IndexReader
+    from .qparse import wildcard_regex
+
+    glob = os.path.join(index_dir, "termstats", "*.parquet")
+    con = duckdb.connect()
+    out: list[tuple[list[str], str, float]] = []
+    try:
+        for pat, occ, b in p.wildcards:
+            rows = con.execute(
+                "SELECT term FROM read_parquet(?) "
+                "WHERE regexp_matches(term, ?) "
+                "ORDER BY df DESC, term ASC LIMIT ?",
+                [glob, wildcard_regex(pat), IndexReader.MAX_WILDCARD_EXPANSIONS],
+            ).fetchall()
+            out.append(([r[0] for r in rows], occ, b))
+        for t, e, occ, b in p.fuzzies:
+            rows = con.execute(
+                "SELECT term FROM read_parquet(?) "
+                "WHERE abs(length(term) - ?) <= ? "
+                "AND levenshtein(term, ?) <= ? "
+                "ORDER BY levenshtein(term, ?) ASC, df DESC, term ASC "
+                "LIMIT ?",
+                [glob, len(t), e, t, e, t,
+                 IndexReader.MAX_FUZZY_EXPANSIONS],
+            ).fetchall()
+            out.append(([r[0] for r in rows], occ, b))
+    finally:
+        con.close()
+    return out
+
+
 def _lucene_local(index_dir: str, query: str, k: int,
                   where: str | None = None) -> list[tuple[int, float]]:
     """Worker-side Lucene classic-syntax search: parse the ``q`` string
     (qparse) and run the boolean walk over pyarrow-fetched blocks — the
     same MUST/SHOULD/MUST_NOT/boost semantics as
     ``IndexReader.search_boolean``, sharing `_boolean_topk` and the
-    ids-only MUST_NOT decode. Lone phrase clauses route to phrase mode."""
+    ids-only MUST_NOT decode. Lone phrase clauses route to phrase mode
+    (slop honored); wildcard/fuzzy clauses expand via :func:`_expand_local`
+    and MUST expansions run the shared grouped walk (`_grouped_topk`)."""
     import pyarrow.parquet as pq
 
     from .bm25 import (_boolean_topk, _Cursor, _excluded_ids,
-                       _merge_deleted, _wand_topk)
+                       _grouped_topk, _merge_deleted, _wand_topk)
     from .qparse import parse_query
 
     p = parse_query(query)
     if p.phrases:
-        if p.must or p.should or p.must_not or len(p.phrases) > 1:
+        if (p.must or p.should or p.must_not or p.wildcards or p.fuzzies
+                or len(p.phrases) > 1):
             raise NotImplementedError(
                 "phrase clauses cannot yet be combined with other clauses")
-        toks, _required, boost = p.phrases[0]
+        toks, _required, boost, slop = p.phrases[0]
         if boost != 1.0:
             raise NotImplementedError("phrase boosts not supported")
-        return _search_local(index_dir, " ".join(toks), k, "phrase", where)
+        return _search_local(index_dir, " ".join(toks), k, "phrase", where,
+                             slop=slop)
     boosts: dict[str, float] = {}
     for t, b in [*p.must, *p.should]:
         boosts.setdefault(t, b)
+    should_set = {t for t, _ in p.should}
+    mn_set = set(p.must_not)
+    groups: list[tuple[list[str], float]] = []
+    for exp, occ, b in _expand_local(index_dir, p):
+        if occ == "-":
+            mn_set.update(exp)
+        elif occ == "+":
+            if not exp:
+                return []  # empty rewritten MUST clause: MatchNoDocs
+            groups.append((exp, b))
+        else:
+            should_set.update(exp)
+            if b != 1.0:
+                for t in exp:
+                    boosts.setdefault(t, b)
     must_t = sorted({t for t, _ in p.must})
-    should_t = sorted({t for t, _ in p.should} - set(must_t))
-    mn_t = sorted(set(p.must_not))
-    scored = sorted(set(must_t) | set(should_t))
+    group_terms = {t for g, _ in groups for t in g}
+    should_t = sorted(should_set - set(must_t) - group_terms)
+    mn_t = sorted(mn_set)
+    scored = sorted(set(must_t) | set(should_t) | group_terms)
     if not scored:
         return []
     state = _load_reader_state(index_dir)
@@ -120,11 +184,12 @@ def _lucene_local(index_dir: str, query: str, k: int,
         os.path.join(index_dir, "termstats"),
         filters=[("term", "in", scored)],
     ).to_pylist()
-    idfs = {
-        r["term"]: boosts.get(r["term"], 1.0) * math.log(
+    base_idfs = {
+        r["term"]: math.log(
             1.0 + (state["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5))
         for r in ts
     }
+    idfs = {t: boosts.get(t, 1.0) * v for t, v in base_idfs.items()}
     if any(t not in idfs for t in must_t) or not idfs:
         return []
     fetch = sorted(set(idfs) | set(mn_t))
@@ -145,10 +210,25 @@ def _lucene_local(index_dir: str, query: str, k: int,
     excluded = _excluded_ids(
         [r for t in mn_t for r in by_term.get(t, [])])
     merged = _merge_deleted(state["tombstones"], excluded)
-    must_c = [_Cursor(t, idfs[t], by_term[t], state["avgdl"])
-              for t in must_t if t in by_term]
     should_c = [_Cursor(t, idfs[t], by_term[t], state["avgdl"])
                 for t in should_t if t in by_term]
+    if groups:
+        # grouped MUST walk — plain MUST terms ride as singleton groups,
+        # expanded group members score base_idf · group boost
+        gs = [[_Cursor(t, idfs[t], by_term[t], state["avgdl"])]
+              for t in must_t if t in by_term]
+        if len(gs) < len(must_t):
+            return []
+        for g, b in groups:
+            cs = [_Cursor(t, base_idfs[t] * b, by_term[t], state["avgdl"])
+                  for t in sorted(set(g)) if t in base_idfs and t in by_term]
+            if not cs:
+                return []
+            gs.append(cs)
+        return _grouped_topk(gs, should_c, k, deleted=merged,
+                             allowed=allowed)
+    must_c = [_Cursor(t, idfs[t], by_term[t], state["avgdl"])
+              for t in must_t if t in by_term]
     if must_t:
         return _boolean_topk(must_c, should_c, k, len(must_t),
                              deleted=merged, allowed=allowed)
@@ -157,7 +237,8 @@ def _lucene_local(index_dir: str, query: str, k: int,
 
 def _search_local(index_dir: str, query: str, k: int,
                   mode: str = "or",
-                  where: str | None = None) -> list[tuple[int, float]]:
+                  where: str | None = None,
+                  slop: int = 0) -> list[tuple[int, float]]:
     """The full WAND walk against the on-disk index, no Spark involved.
 
     Reuses the exact cursor/walk implementation of the driver path
@@ -227,7 +308,8 @@ def _search_local(index_dir: str, query: str, k: int,
         }
         idf_sum = sum(idfs[t] for t in toks)
         return _phrase_topk(toks, cursors_d, idf_sum, k, state["avgdl"],
-                            deleted=state["tombstones"], allowed=allowed)
+                            deleted=state["tombstones"], allowed=allowed,
+                            slop=slop)
     cursors = [
         _Cursor(t, idfs[t], by_term[t], state["avgdl"])
         for t in sorted(idfs) if t in by_term

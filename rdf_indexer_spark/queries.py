@@ -876,6 +876,63 @@ def q_field_stats(spark, sf):
     return reader.field_stats(" ".join(BM25_QUERY_TERMS), "n_chars")
 
 
+WILDCARD_QUERY = "+s* query"    # 6-way MUST group (s-terms) + SHOULD term
+FUZZY_QUERY = "part~2 window"   # part/sort/spark/fast expansion + SHOULD
+SLOP_QUERY = '"table hash"~2'   # ordered near-match, ≤2 intervening tokens
+
+
+def q_bm25_wildcard(spark, sf):
+    """Lucene WildcardQuery through the full production path: ``+s*
+    query`` — the pattern expands against the term dictionary (ONE
+    termstats scan, SCORING_BOOLEAN rewrite capped top-df) into a MUST
+    at-least-one-of group on the grouped walk
+    (IndexReader.search_grouped_boolean), the SHOULD term riding along.
+    Oracle: DuckDB restates BOTH stages — the dictionary expansion with
+    the identical anchored regex + (df desc, term asc) cap, then the
+    grouped BM25 (any-expanded-term gate, every present scored term
+    contributing its own idf)."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_lucene(WILDCARD_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_fuzzy(spark, sf):
+    """Lucene FuzzyQuery through the full production path: ``part~2
+    window`` — classic-Levenshtein dictionary expansion (ONE termstats
+    scan, (dist asc, df desc, term asc) cap 50) joins the SHOULD list; OR
+    semantics, each expanded term scoring with its own idf. Oracle: DuckDB
+    restates the expansion (its levenshtein is the same classic edit
+    distance) and the OR BM25 over the expanded ∪ literal term set."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_lucene(FUZZY_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_phrase_slop(spark, sf):
+    """Sloppy phrase through the parser: ``"table hash"~2`` — ordered
+    near-match over the positional index (greedy-chain pf, ≤2 intervening
+    positions; the documented in-order deviation from classic Lucene's
+    transposing sloppy scorer). Oracle: DuckDB greedy restatement — for
+    each 'table' position the MIN following 'hash' position decides the
+    chain (greedy is width-optimal for a fixed start), pf = starts whose
+    width ≤ slop."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf, positional=True))
+    hits = reader.search_lucene(SLOP_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 MISSPELLED = "sot"  # one edit from the corpus term "sort"
 
 

@@ -705,6 +705,110 @@ def test_phrase_semantics_tiny(spark, tmp_path):
     assert set(single) == {0, 3}
 
 
+def _brute_slop_pf(tl: list, terms: list, slop: int) -> int:
+    """Independent enumeration oracle for the ordered near-match contract:
+    pf = number of start positions q (occurrences of terms[0]) for which
+    ANY strictly-increasing position chain of the remaining terms exists
+    with total width ≤ slop — brute-force product search, no greedy."""
+    import itertools
+
+    occ = [[p for p, t in enumerate(tl) if t == term] for term in terms]
+    if any(not o for o in occ):
+        return 0
+    pf = 0
+    for q in occ[0]:
+        for combo in itertools.product(*occ[1:]):
+            seq = [q, *combo]
+            if (all(b > a for a, b in zip(seq, seq[1:]))
+                    and seq[-1] - q - (len(terms) - 1) <= slop):
+                pf += 1
+                break
+    return pf
+
+
+def test_phrase_slop_semantics_tiny(spark, tmp_path):
+    """Sloppy phrases (ordered near-match, greedy-chain pf): hand-built
+    corpus with known position layouts, checked doc-by-doc against the
+    brute-force enumeration oracle and the exact score formula; reversed
+    order NEVER matches (the documented in-order deviation from classic
+    Lucene sloppy phrases)."""
+    import math
+
+    from rdf_indexer_spark.index.bm25 import B, K1, IndexReader
+    from rdf_indexer_spark.index.build import build_index
+
+    corpus = [
+        (0, "a c b"),        # one intervening token: matches at slop ≥ 1
+        (1, "b a"),          # reversed: never matches "a b" at any slop
+        (2, "a c b a b"),    # starts a@0 (width 1) and a@3 (width 0)
+        (3, "a c c c b"),    # width 3
+        (4, "a c a c b"),    # greedy from a@0 width 3, from a@2 width 1
+    ]
+    out = str(tmp_path / "slop")
+    build_index(spark, spark.createDataFrame(corpus, ["doc_id", "text"]),
+                out, num_buckets=1, resume=False, positions=True)
+    reader = IndexReader(spark, out)
+
+    toks = {i: t.split() for i, t in corpus}
+    for slop in (0, 1, 2, 3, 99):
+        got = dict(reader.search_phrase("a b", 10, slop=slop))
+        want_pf = {i: _brute_slop_pf(tl, ["a", "b"], slop)
+                   for i, tl in toks.items()}
+        assert set(got) == {i for i, pf in want_pf.items() if pf}, slop
+        # exact score check: (Σ idf) · pf/(pf + K(dl))
+        n, avgdl = 5, sum(len(t) for t in toks.values()) / 5
+        stats = reader.term_stats(["a", "b"])
+        idf_sum = sum(
+            math.log(1 + (n - stats[t]["df"] + 0.5) / (stats[t]["df"] + 0.5))
+            for t in ("a", "b"))
+        for d, s in got.items():
+            pf, dl = want_pf[d], len(toks[d])
+            assert s == pytest.approx(
+                idf_sum * pf / (pf + K1 * (1 - B + B * dl / avgdl)),
+                rel=1e-9), (d, slop)
+    assert 1 not in dict(reader.search_phrase("a b", 10, slop=99))
+
+    # 3-term chains + duplicate-term phrase against the enumeration oracle
+    for phrase, slop in (("a c b", 1), ("a a", 1), ("a c b", 0)):
+        got = dict(reader.search_phrase(phrase, 10, slop=slop))
+        terms = phrase.split()
+        want = {i for i, tl in toks.items()
+                if _brute_slop_pf(tl, terms, slop)}
+        assert set(got) == want, (phrase, slop)
+
+
+def test_phrase_slop_walks_and_surfaces(spark, pos_index_dir):
+    """Slop rides every phrase surface identically: driver walk ≡
+    distributed per-part walk ≡ search_lucene('"..."~N') ≡ the SQL
+    surface's lucene mode; slop=0 ≡ the exact-phrase default; ground truth
+    recomputed from the corpus."""
+    from rdf_indexer_spark.analyzer import tokenize
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    reader = IndexReader(spark, pos_index_dir)
+    # planted "alpha beta gamma" → "alpha gamma" matches at slop ≥ 1
+    drv = reader.search_phrase("alpha gamma", 10_000, slop=1,
+                               distributed=False)
+    dist = reader.search_phrase_distributed("alpha gamma", 10_000, slop=1)
+    assert drv and drv == dist
+    toks = {i: tokenize(t) for i, t in _phrase_docs()}
+    want = {i for i, tl in toks.items()
+            if _brute_slop_pf(tl, ["alpha", "gamma"], 1)}
+    assert {d for d, _ in drv} == want
+    # slop=0 ≡ exact default
+    assert (reader.search_phrase("alpha beta", 50, slop=0)
+            == reader.search_phrase("alpha beta", 50))
+    # parser route + SQL surface
+    luc = reader.search_lucene('"alpha gamma"~1', 10)
+    assert luc == drv[:10]
+    register_sql_surface(spark, pos_index_dir, name="bm25_search_slop")
+    got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+        "SELECT * FROM bm25_search_slop('\"alpha gamma\"~1', 10, 'lucene') "
+        "ORDER BY rank").collect()]
+    assert got == [(d, round(s, 8)) for d, s in luc]
+
+
 def test_phrase_filtered_and_tombstoned(spark, tmp_path):
     """fq `where` composes with phrase search (scores unchanged, hits
     filtered), and tombstoned docs vanish from both the walk and the
@@ -1025,13 +1129,36 @@ def test_qparse_clauses_and_errors():
     assert p.must == [("alpha", 1.0)]
     assert p.must_not == ["beta"]
     assert p.should == [("gamma", 2.0), ("delta", 1.0)]
-    assert p.phrases == [(("exact", "phrase"), False, 1.0)]
+    assert p.phrases == [(("exact", "phrase"), False, 1.0, 0)]
     assert p.boosts == {"gamma": 2.0}
     # a multi-token clause inherits its prefix/boost (analyzer splits it)
     p = parse_query("+Foo-Bar^3")
     assert p.must == [("foo", 3.0), ("bar", 3.0)]
-    for bad in ['a AND b', 'NOT a', 'title:x', 'wild*', 'fuzz~',
+    for bad in ['a AND b', 'NOT a', 'title:x',
                 '"unbalanced', '-"no neg phrases"']:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_qparse_wildcard_fuzzy_slop():
+    from rdf_indexer_spark.index.qparse import parse_query, wildcard_regex
+
+    # wildcard clauses in all three occurs, boosts attached
+    p = parse_query('+Wil*ard -suf?ix mid*dle^2')
+    assert p.wildcards == [("wil*ard", "+", 1.0), ("suf?ix", "-", 1.0),
+                           ("mid*dle", "", 2.0)]
+    assert not p.must and not p.should and not p.must_not
+    # fuzzy: bare ~ defaults to 2 edits, ~N pins, ~0 is the exact term
+    p = parse_query('Fuzz~ +tabel~1^3 exact~0')
+    assert p.fuzzies == [("fuzz", 2, "", 1.0), ("tabel", 1, "+", 3.0)]
+    assert p.should == [("exact", 1.0)]
+    # phrase slop
+    p = parse_query('"a b"~2 "c d"~0 "e f"')
+    assert [(ph[0], ph[3]) for ph in p.phrases] == [
+        (("a", "b"), 2), (("c", "d"), 0), (("e", "f"), 0)]
+    # regex translation is anchored and engine-neutral
+    assert wildcard_regex("wi*d?") == "^wi.*d.$"
+    for bad in ['*', '**', 'a~3', 'a~0.8', 'wil*d~2', 'a~1~2', 'wi*l d:x']:
         with pytest.raises(ValueError):
             parse_query(bad)
 
@@ -1146,6 +1273,130 @@ def test_sql_surface_lucene_mode(spark, bool_index_dir):
     got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
         f"SELECT * FROM bm25_search_luc('{q}', 10, 'lucene', "
         f"'doc_id < 60') ORDER BY rank").collect()]
+    assert got == want
+
+
+# -- wildcard / fuzzy expansion + grouped MUST walk (r5) ---------------------
+
+W_TERMS = [f"w{i}" for i in range(7)]  # _bool_corpus's w0..w6 family
+
+
+def test_expand_wildcard_fuzzy(spark, bool_index_dir):
+    """Dictionary expansion: deterministic (df desc, term asc) order for
+    wildcards, (dist asc, df desc, term asc) for fuzzy, caps honored.
+    _bool_corpus plants w0 with df 18 (120 = 7·17+1) and w1..w6 with 17."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, bool_index_dir)
+    assert reader.expand_wildcard("w?") == W_TERMS
+    assert reader.expand_wildcard("alp*") == ["alpha"]
+    assert reader.expand_wildcard("*eta") == ["beta"]  # no-prefix pattern
+    assert reader.expand_wildcard("zzz*") == []
+    assert reader.expand_wildcard("w?", max_expansions=3) == ["w0", "w1", "w2"]
+    assert reader.expand_fuzzy("alpa", 1) == ["alpha"]
+    assert reader.expand_fuzzy("w9", 1) == W_TERMS
+    assert reader.expand_fuzzy("w9", 1, max_expansions=2) == ["w0", "w1"]
+    # exact term is its own distance-0 candidate, ranked first
+    assert reader.expand_fuzzy("w3", 1)[0] == "w3"
+
+
+def _brute_grouped(groups, should, must_not, k=10, pred=lambda i: True):
+    """From-scratch grouped BooleanQuery BM25 over the _bool_corpus spec:
+    each (terms, boost) group is an at-least-one-of gate and every present
+    member contributes boost·idf·tf-saturation."""
+    import collections
+    import math
+
+    toks = {i: t.split() for i, t in _bool_corpus()}
+    n = len(toks)
+    dls = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dls.values()) / n
+    dfc = collections.Counter(t for ts in toks.values() for t in set(ts))
+
+    def contrib(t, i, b=1.0):
+        tf = toks[i].count(t)
+        idf = math.log(1 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+        return b * idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+
+    hits = []
+    for i, ts in toks.items():
+        s = set(ts)
+        if any(not (set(g) & s) for g, _ in groups):
+            continue
+        if any(m in s for m in must_not) or not pred(i):
+            continue
+        if not (groups or any(t in s for t in should)):
+            continue
+        score = (sum(contrib(t, i, b) for g, b in groups
+                     for t in sorted(set(g)) if t in s)
+                 + sum(contrib(t, i) for t in should if t in s))
+        hits.append((i, score))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(i, round(sc, 8)) for i, sc in hits[:k]]
+
+
+@pytest.mark.parametrize("q,groups,should,must_not", [
+    ("w?", [], W_TERMS, []),                       # SHOULD wildcard
+    ("+alp* beta", [(["alpha"], 1.0)], ["beta"], []),  # MUST singleton group
+    ("+w? alpha", [(W_TERMS, 1.0)], ["alpha"], []),    # MUST 7-way group
+    ("alpha -w0*", [], ["alpha"], ["w0"]),         # MUST_NOT wildcard
+    ("w9~1 alpha", [], [*W_TERMS, "alpha"], []),   # SHOULD fuzzy
+    ("+w9~1^2 alpha", [(W_TERMS, 2.0)], ["alpha"], []),  # boosted MUST fuzzy
+])
+def test_lucene_wildcard_fuzzy_matches_bruteforce(
+        spark, bool_index_dir, q, groups, should, must_not):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, bool_index_dir)
+    want = _brute_grouped(groups, should, must_not)
+    assert want, f"vacuous case {q!r}"
+    for dist in (False, True):
+        got = [(d, round(s, 8)) for d, s in
+               reader.search_lucene(q, 10, distributed=dist)]
+        assert got == want, (q, dist, got[:3], want[:3])
+
+
+def test_lucene_expansion_edges(spark, bool_index_dir):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, bool_index_dir)
+    # empty MUST expansion = MatchNoDocs (Lucene's rewritten-clause rule)
+    assert reader.search_lucene("+zzz* alpha", 10) == []
+    # empty SHOULD expansion just drops the clause
+    got = reader.search_lucene("zzz* alpha", 10)
+    assert [d for d, _ in got] == [
+        d for d, _ in reader.search_lucene("alpha", 10)]
+    # fq composes with the grouped walk on both routes
+    want = _brute_grouped([(W_TERMS, 1.0)], ["alpha"], [],
+                          pred=lambda i: i < 60)
+    for dist in (False, True):
+        got = [(d, round(s, 8)) for d, s in reader.search_lucene(
+            "+w? alpha", 10, where="doc_id < 60", distributed=dist)]
+        assert got == want
+
+
+def test_sql_surface_lucene_wildcard_fuzzy(spark, bool_index_dir):
+    """The SQL surface's worker-side expansion (DuckDB dictionary scan) is
+    rank- and score-identical to the driver path for wildcard, fuzzy and
+    grouped-MUST queries, including under fq."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, bool_index_dir, name="bm25_search_exp")
+    reader = IndexReader(spark, bool_index_dir)
+    for q in ("w?", "+w? alpha", "w9~1 beta", "+w9~1^2 alpha",
+              "alpha -w0*"):
+        want = [(d, round(s, 8)) for d, s in reader.search_lucene(q, 10)]
+        got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+            f'SELECT * FROM bm25_search_exp("{q}", 10, \'lucene\') '
+            "ORDER BY rank").collect()]
+        assert got == want, q
+    q = "+w? alpha"
+    want = [(d, round(s, 8)) for d, s in
+            reader.search_lucene(q, 10, where="doc_id < 60")]
+    got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+        f'SELECT * FROM bm25_search_exp("{q}", 10, \'lucene\', '
+        "'doc_id < 60') ORDER BY rank").collect()]
     assert got == want
 
 
