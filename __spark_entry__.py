@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wildcard": Q.q_bm25_wildcard,
         "bm25_fuzzy": Q.q_bm25_fuzzy,
         "bm25_phrase_slop": Q.q_bm25_phrase_slop,
+        "bm25_lucene_mixed": Q.q_bm25_lucene_mixed,
     }
 
 
@@ -498,6 +499,69 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
 
+    # bm25_lucene_mixed oracle ('+"table hash" filter -dup'): one scorer
+    # tree — the REQUIRED exact phrase gates (pf > 0 via the adjacency
+    # self-join), the SHOULD term adds its own idf·tf-saturation where
+    # present, and docs containing the prohibited term are excluded; the
+    # phrase contributes (Σ idf of its tokens)·pf/(pf + K(dl)) exactly as
+    # in the lone-phrase oracle.
+    bm25_mixed_sql = f"""
+        WITH tokp AS (
+          SELECT doc_id, unnest({tok}) AS term,
+                 generate_subscripts({tok}, 1) AS pos
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        pdf AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+          WHERE term IN ('table', 'hash') GROUP BY term
+        ),
+        idf AS (
+          SELECT sum(ln(1 + (n - df + 0.5) / (df + 0.5))) AS idf_sum,
+                 count(*) AS terms_present
+          FROM pdf CROSS JOIN stats
+        ),
+        starts AS (
+          SELECT a.doc_id
+          FROM tokp a
+          JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'table' AND b.term = 'hash'
+        ),
+        pf AS (
+          SELECT doc_id, count(*)::DOUBLE AS pf FROM starts GROUP BY doc_id
+        ),
+        f_df AS (
+          SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+          WHERE term = 'filter'
+        ),
+        f_tf AS (
+          SELECT doc_id, count(*)::DOUBLE AS tf FROM tokp
+          WHERE term = 'filter' GROUP BY doc_id
+        ),
+        banned AS (SELECT DISTINCT doc_id FROM tokp WHERE term = 'dup'),
+        scores AS (
+          SELECT pf.doc_id,
+                 idf_sum * pf
+                 / (pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 + coalesce(
+                     ln(1 + (n - f_df.df + 0.5) / (f_df.df + 0.5)) *
+                     f_tf.tf /
+                     (f_tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                     0.0) AS score
+          FROM pf
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          CROSS JOIN idf
+          CROSS JOIN f_df
+          LEFT JOIN f_tf ON pf.doc_id = f_tf.doc_id
+          WHERE terms_present = 2
+            AND pf.doc_id NOT IN (SELECT doc_id FROM banned)
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
     bm25_and_sql = f"""
         WITH q(term) AS (VALUES ('table'), ('query'), ('filter')),
         tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
@@ -746,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wildcard": bm25_wildcard_sql,
         "bm25_fuzzy": bm25_fuzzy_sql,
         "bm25_phrase_slop": bm25_slop_sql,
+        "bm25_lucene_mixed": bm25_mixed_sql,
         # index mutation (update_documents = delete+append) vs the
         # two-version-corpus SQL restatement (deleted-docs statistics)
         "bm25_after_update": bm25_update_sql,

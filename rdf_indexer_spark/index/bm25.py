@@ -1280,6 +1280,129 @@ class IndexReader:
         return [(int(r["doc_id"]), float(r["score"]))
                 for r in merged_rows[:k]]
 
+    def _search_mixed(
+        self, spec, k: int = 10, *, where: str | None = None,
+        distributed: bool | None = None,
+    ) -> list[tuple[int, float]]:
+        """Execute a MIXED clause set — phrases interleaved with boolean
+        term clauses inside one scorer tree, the composition Lucene's
+        BooleanQuery performs natively (``+"table hash" filter -dup``).
+        ``spec`` comes from :func:`_mixed_spec`. Requires a positional
+        index (the phrase members decode positions).
+
+        Plan shape: ONE termstats scan (stats + routing + idf), ONE
+        term-pruned block fetch WITH positions, then :func:`_mixed_walk` —
+        required phrases are singleton groups of a :class:`_PhraseCursor`
+        on the grouped leapfrog, optional phrases are riders; MUST_NOT
+        postings decode ids-only where the walk runs. Auto-routing as in
+        :meth:`search`: filtered queries always distributed, otherwise the
+        build-time byte estimate (positions make the true fetch ~1.2× the
+        CORE payload — same documented lean as :meth:`search_phrase`).
+        The distributed path runs the identical walk per part bucket
+        (disjoint doc-id stripes make phrase matching bucket-local) with
+        the standard ≤ parts·k driver merge."""
+        term_groups, should_terms, must_not, phrases = spec
+        self._require_positional()
+        phrase_terms = {t for toks, *_ in phrases for t in toks}
+        scored = sorted({t for g, _ in term_groups for t in g}
+                        | {t for t, _ in should_terms} | phrase_terms)
+        if not scored:
+            return []
+        all_stats = self.term_stats(sorted(set(scored) | set(must_not)))
+        # global MatchNoDocs: a required clause with an unindexed member
+        for g, _ in term_groups:
+            if not any(t in all_stats for t in g):
+                return []
+        for toks, required, _, _ in phrases:
+            if required and any(t not in all_stats for t in toks):
+                return []
+        base_idfs = {t: self._idf(s["df"]) for t, s in all_stats.items()
+                     if t in set(scored)}
+        if not base_idfs:
+            return []
+        avgdl = self.avgdl
+        if distributed is None:
+            if where is not None:
+                distributed = True
+            elif all(s["bytes"] is not None for s in all_stats.values()):
+                est = sum(s["bytes"] for s in all_stats.values())
+                distributed = est > self.DISTRIBUTED_FETCH_BYTES
+            else:
+                distributed = (sum(s["df"] for s in all_stats.values())
+                               > self.DISTRIBUTED_POSTINGS_THRESHOLD)
+        self.last_path = "distributed" if distributed else "driver"
+        fetch = sorted(set(base_idfs) | set(must_not))
+        mn_set = set(must_not)
+
+        if not distributed:
+            allowed = self.allowed_ids(where)
+            blocks = self.fetch_blocks(fetch, with_positions=True)
+            excluded = _excluded_ids(
+                [r for t in must_not for r in blocks.get(t, [])])
+            merged = _merge_deleted(self.tombstones, excluded)
+            return _mixed_walk(blocks, base_idfs, avgdl, term_groups,
+                               should_terms, phrases, k, merged, allowed)
+
+        tomb_bc = self._tomb_bc
+        blocks_df = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(fetch))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin",
+                    "pos_bin")
+        )
+
+        def _walk(pdf, allow):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")})
+            if allow is not None and len(allow) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            if not by_term:
+                return empty
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            excluded = _excluded_ids(
+                [r for t in mn_set for r in by_term.get(t, [])])
+            merged = _merge_deleted(tomb_bc.value, excluded)
+            hits = _mixed_walk(by_term, base_idfs, avgdl, term_groups,
+                               should_terms, phrases, k, merged, allow)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in hits],
+                 "score": [s for _, s in hits]},
+                columns=["doc_id", "score"],
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        out_schema = "doc_id long, score double"
+        if where is None:
+            local = blocks_df.groupBy("part").applyInPandas(
+                lambda pdf: _walk(pdf, None), schema=out_schema
+            ).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk(bl_pdf, allow)
+
+            local = (
+                blocks_df.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_filtered, schema=out_schema)
+                .collect()
+            )
+        merged_rows = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))
+        return [(int(r["doc_id"]), float(r["score"]))
+                for r in merged_rows[:k]]
+
     def search_lucene(
         self, q: str, k: int = 10, *, where: str | None = None,
         distributed: bool | None = None,
@@ -1299,28 +1422,23 @@ class IndexReader:
         rewrite, every expanded term scoring with its own idf under the
         clause's boost.
 
-        Routing: a lone phrase clause (no boolean clauses, boost 1) runs
-        the positional phrase walk (slop honored); any mix of term clauses
-        runs :meth:`search_boolean` (or the grouped walk when MUST
-        expansions exist). Phrase clauses COMBINED with boolean clauses
-        are not yet executable in one walk and raise
-        ``NotImplementedError`` (the honest boundary — Lucene interleaves
-        them inside one scorer tree)."""
+        Routing: a lone unboosted phrase clause runs the dedicated
+        positional phrase walk (slop honored, byte-based auto-routing);
+        phrase clauses MIXED with any other clause (or boosted, or
+        several) run the one-scorer-tree mixed walk (:meth:`_search_mixed`
+        — required phrases gate via :class:`_PhraseCursor` groups,
+        optional ones ride). Pure term-clause queries run
+        :meth:`search_boolean` (or the grouped walk when MUST expansions
+        exist) and keep their WAND/block-max pruning."""
         from .qparse import parse_query
 
         p = parse_query(q)
-        if p.phrases:
-            if (p.must or p.should or p.must_not or p.wildcards
-                    or p.fuzzies or len(p.phrases) > 1):
-                raise NotImplementedError(
-                    "phrase clauses cannot yet be combined with other "
-                    "clauses; run the phrase and the boolean parts as "
-                    "separate queries")
-            toks, _required, boost, slop = p.phrases[0]
-            if boost != 1.0:
-                raise NotImplementedError("phrase boosts not supported")
+        if (len(p.phrases) == 1 and p.phrases[0][2] == 1.0
+                and not (p.must or p.should or p.must_not
+                         or p.wildcards or p.fuzzies)):
+            toks, _required, _boost, slop = p.phrases[0]
             return self.search_phrase(" ".join(toks), k, where=where,
-                                      slop=slop)
+                                      slop=slop, distributed=distributed)
         should = [t for t, _ in p.should]
         must_not = list(p.must_not)
         boosts = dict(p.boosts)
@@ -1331,6 +1449,12 @@ class IndexReader:
             + [(self.expand_fuzzy(t, e), occ, b)
                for t, e, occ, b in p.fuzzies]
         )
+        if p.phrases:
+            spec = _mixed_spec(p, expansions)
+            if spec is None:
+                return []  # empty rewritten MUST clause: MatchNoDocs
+            return self._search_mixed(spec, k, where=where,
+                                      distributed=distributed)
         for exp, occ, b in expansions:
             if occ == "-":
                 must_not.extend(exp)
@@ -1775,6 +1899,84 @@ class _Cursor:
             self._load_block()
 
 
+class _PhraseCursor:
+    """Cursor adapter that lets a phrase clause ride the boolean walks as
+    if it were a single term — the scorer-tree composition Lucene performs
+    when a PhraseQuery sits inside a BooleanQuery. ``cur_doc`` only ever
+    lands on docs where the phrase MATCHES (pf > 0 under the slop
+    contract): internally a conjunctive leapfrog over the member terms'
+    cursors (the same loop as :func:`_phrase_topk`) with position
+    verification at aligned docs, so docs failing the AND prefilter or the
+    position check are invisible to the outer walk. ``contribution`` =
+    boost · (Σ idf with multiplicity) · pf/(pf + K(dl)) — identical to
+    :meth:`IndexReader.search_phrase` scoring, so a lone required phrase
+    through this adapter equals the dedicated phrase walk (asserted in
+    tests). Exposes the subset of the `_Cursor` interface the non-pruning
+    walks use (cur_doc / exhausted / next_geq / advance / contribution /
+    term); it provides NO block-max bounds, which is why mixed queries run
+    the grouped or plain-OR walk rather than WAND."""
+
+    def __init__(self, terms: list[str], idfs: dict[str, float],
+                 by_term: dict[str, list], avgdl: float,
+                 slop: int = 0, boost: float = 1.0):
+        self.term = '"' + " ".join(terms) + '"'  # walk sort key
+        self.terms = list(terms)
+        self.avgdl = avgdl
+        self.slop = slop
+        self.idf_sum = boost * sum(idfs[t] for t in terms)  # w/ multiplicity
+        uniq = sorted(set(terms))
+        self.cursors = {t: _Cursor(t, idfs[t], by_term[t], avgdl)
+                        for t in uniq}
+        self._cs = list(self.cursors.values())
+        self.exhausted = False
+        self._doc = 0
+        self._pf = 0
+        self._dl = 0.0
+        self._align(0)
+
+    @property
+    def cur_doc(self) -> int:
+        return (1 << 62) if self.exhausted else self._doc
+
+    def _align(self, target: int) -> None:
+        cs = self._cs
+        while True:
+            if any(c.exhausted for c in cs):
+                self.exhausted = True
+                return
+            t = max(target, max(c.cur_doc for c in cs))
+            for c in cs:
+                if c.cur_doc < t:
+                    c.next_geq(t)
+            if any(c.exhausted for c in cs):
+                self.exhausted = True
+                return
+            if all(c.cur_doc == t for c in cs):
+                pf = _phrase_freq(self.terms, self.cursors, self.slop)
+                if pf:
+                    c0 = cs[0]
+                    self._doc, self._pf = t, pf
+                    self._dl = float(c0.dls[c0.pos])
+                    return
+                for c in cs:
+                    c.advance()
+
+    def next_geq(self, target: int) -> None:
+        if not self.exhausted and self._doc < target:
+            self._align(target)
+
+    def advance(self) -> None:
+        if self.exhausted:
+            return
+        for c in self._cs:  # all members sit aligned at the match doc
+            c.advance()
+        self._align(0)
+
+    def contribution(self) -> float:
+        return (self.idf_sum * self._pf
+                / (self._pf + _norm(self._dl, self.avgdl)))
+
+
 def _in_sorted(arr: np.ndarray | None, doc: int) -> bool:
     if arr is None or not len(arr):
         return False
@@ -1952,6 +2154,135 @@ def _grouped_topk(
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-d, s) for s, d in out]
+
+
+def _or_topk(
+    cursors: list, k: int,
+    deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Exact disjunctive top-k WITHOUT block-max pruning: the walk for
+    should-only clause mixes that include phrase cursors (which provide no
+    block bounds, so WAND would be unsound). Doc-at-a-time min-merge over
+    all live cursors; contributions summed in ascending ``.term`` order
+    (the determinism discipline). Every candidate is evaluated — exact by
+    construction, and the cost is bounded by the clauses' postings like
+    the exhaustive scorer's."""
+    if k <= 0:
+        return []
+    heap: list[tuple[float, int]] = []
+
+    def offer(doc: int, score: float) -> None:
+        if _in_sorted(deleted, doc):
+            return
+        if allowed is not None and not _in_sorted(allowed, doc):
+            return
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    order = sorted(cursors, key=lambda c: c.term)
+    while True:
+        live = [c for c in order if not c.exhausted]
+        if not live:
+            break
+        doc = min(c.cur_doc for c in live)
+        score = sum(c.contribution() for c in live if c.cur_doc == doc)
+        offer(doc, score)
+        for c in live:
+            if c.cur_doc == doc:
+                c.advance()
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-d, s) for s, d in out]
+
+
+def _mixed_walk(
+    by_term: dict[str, list], base_idfs: dict[str, float], avgdl: float,
+    term_groups: list[tuple[list[str], float]],
+    should_terms: list[tuple[str, float]],
+    phrases: list[tuple[list[str], bool, float, int]],
+    k: int,
+    deleted: np.ndarray | None, allowed: np.ndarray | None,
+) -> list[tuple[int, float]]:
+    """Build cursors from decoded-block lists and run the right walk for a
+    MIXED clause set (terms + phrases) — the one scorer-tree composition
+    shared by the driver path, the per-part distributed kernel and the SQL
+    surface's worker (same spec in → bit-identical hits out).
+
+    ``term_groups`` = MUST at-least-one-of groups (plain MUST terms arrive
+    as singletons); ``should_terms`` = (term, boost) riders; ``phrases`` =
+    (tokens, required?, boost, slop) clauses wrapped in
+    :class:`_PhraseCursor` (required → their own singleton group, optional
+    → riders). A required clause with no member present here returns ∅ —
+    globally that is Lucene's MatchNoDocs; per part it correctly yields an
+    empty local top-k. Any MUST clause present → grouped walk; otherwise
+    the non-pruning OR walk (phrase cursors carry no block-max bounds)."""
+    groups: list[list] = []
+    for g, b in term_groups:
+        cs = [_Cursor(t, base_idfs[t] * b, by_term[t], avgdl)
+              for t in g if t in by_term and t in base_idfs]
+        if not cs:
+            return []
+        groups.append(cs)
+    riders: list = [
+        _Cursor(t, base_idfs[t] * b, by_term[t], avgdl)
+        for t, b in should_terms if t in by_term and t in base_idfs
+    ]
+    for toks, required, b, slop in phrases:
+        uniq = sorted(set(toks))
+        if any(t not in by_term or t not in base_idfs for t in uniq):
+            if required:
+                return []
+            continue
+        pc = _PhraseCursor(toks, base_idfs, by_term, avgdl,
+                           slop=slop, boost=b)
+        if required:
+            groups.append([pc])
+        else:
+            riders.append(pc)
+    if groups:
+        return _grouped_topk(groups, riders, k, deleted=deleted,
+                             allowed=allowed)
+    return _or_topk(riders, k, deleted=deleted, allowed=allowed)
+
+
+def _mixed_spec(p, expansions):
+    """ParsedQuery + its expanded multi-term clauses → the mixed-walk spec
+    ``(term_groups, should_terms, must_not, phrases)`` shared by
+    ``IndexReader.search_lucene`` and the SQL surface (same spec in →
+    bit-identical hits out of :func:`_mixed_walk`). Plain MUST terms become
+    sorted singleton groups (dedup first-boost-wins); MUST expansions keep
+    parse order after them; SHOULD terms/expansions dedup first-boost-wins
+    and drop terms already gating a group (the same rule the non-phrase
+    grouped path applies). Returns ``None`` when an empty MUST expansion
+    makes the whole query MatchNoDocs."""
+    must_not = list(p.must_not)
+    should: list[tuple[str, float]] = list(p.should)
+    exp_groups: list[tuple[list[str], float]] = []
+    for exp, occ, b in expansions:
+        if occ == "-":
+            must_not.extend(exp)
+        elif occ == "+":
+            if not exp:
+                return None
+            exp_groups.append((sorted(set(exp)), b))
+        else:
+            should.extend((t, b) for t in exp)
+    must_dedup: dict[str, float] = {}
+    for t, b in p.must:
+        must_dedup.setdefault(t, b)
+    term_groups = ([([t], b) for t, b in sorted(must_dedup.items())]
+                   + exp_groups)
+    gterms = {t for g, _ in term_groups for t in g}
+    sd: dict[str, float] = {}
+    for t, b in should:
+        if t not in gterms:
+            sd.setdefault(t, b)
+    phrases = [(list(toks), required, b, slop)
+               for toks, required, b, slop in p.phrases]
+    return term_groups, sorted(sd.items()), sorted(set(must_not)), phrases
 
 
 def _excluded_ids(recs: list) -> np.ndarray:

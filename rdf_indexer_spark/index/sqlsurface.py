@@ -128,32 +128,103 @@ def _expand_local(index_dir: str, p) -> list[tuple[list[str], str, float]]:
     return out
 
 
+def _mixed_local(index_dir: str, spec, k: int,
+                 where: str | None = None) -> list[tuple[int, float]]:
+    """Worker-side mixed scorer tree (phrases interleaved with boolean
+    clauses): pyarrow-fetched blocks WITH positions into the shared
+    ``bm25._mixed_walk`` — the SQL-surface twin of
+    ``IndexReader._search_mixed``."""
+    import math as _math
+
+    import pyarrow.parquet as pq
+
+    from .bm25 import _excluded_ids, _merge_deleted, _mixed_walk
+
+    term_groups, should_terms, must_not, phrases = spec
+    phrase_terms = {t for toks, *_ in phrases for t in toks}
+    scored = sorted({t for g, _ in term_groups for t in g}
+                    | {t for t, _ in should_terms} | phrase_terms)
+    if not scored:
+        return []
+    state = _load_reader_state(index_dir)
+    ts = pq.read_table(
+        os.path.join(index_dir, "termstats"),
+        filters=[("term", "in", sorted(set(scored) | set(must_not)))],
+    ).to_pylist()
+    indexed = {r["term"] for r in ts}
+    for g, _ in term_groups:
+        if not any(t in indexed for t in g):
+            return []
+    for toks, required, _, _ in phrases:
+        if required and any(t not in indexed for t in toks):
+            return []
+    base_idfs = {
+        r["term"]: _math.log(
+            1.0 + (state["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in ts if r["term"] in set(scored)
+    }
+    if not base_idfs:
+        return []
+    fetch = sorted(set(base_idfs) | set(must_not))
+    blocks_tbl = pq.read_table(
+        os.path.join(index_dir, "blocks"),
+        columns=["term", "first_doc_id", "last_doc_id", "n", "max_tf",
+                 "dl_min", "ids_bin", "tfs_bin", "dls_bin", "pos_bin"],
+        filters=[("term", "in", fetch)],
+    )
+    by_term: dict[str, list] = {}
+    for rec in blocks_tbl.to_pylist():
+        by_term.setdefault(rec["term"], []).append(rec)
+    for t in by_term:
+        by_term[t].sort(key=lambda r: r["first_doc_id"])
+    if any(r["pos_bin"] is None
+           for t in phrase_terms for r in by_term.get(t, [])):
+        raise ValueError(
+            "not a positional index: rebuild with "
+            "build_index(positions=True) for phrase queries")
+    allowed = _allowed_local(index_dir, where)
+    if allowed is not None and not len(allowed):
+        return []
+    excluded = _excluded_ids(
+        [r for t in must_not for r in by_term.get(t, [])])
+    merged = _merge_deleted(state["tombstones"], excluded)
+    return _mixed_walk(by_term, base_idfs, state["avgdl"], term_groups,
+                       should_terms, phrases, k, merged, allowed)
+
+
 def _lucene_local(index_dir: str, query: str, k: int,
                   where: str | None = None) -> list[tuple[int, float]]:
     """Worker-side Lucene classic-syntax search: parse the ``q`` string
     (qparse) and run the boolean walk over pyarrow-fetched blocks — the
     same MUST/SHOULD/MUST_NOT/boost semantics as
     ``IndexReader.search_boolean``, sharing `_boolean_topk` and the
-    ids-only MUST_NOT decode. Lone phrase clauses route to phrase mode
-    (slop honored); wildcard/fuzzy clauses expand via :func:`_expand_local`
-    and MUST expansions run the shared grouped walk (`_grouped_topk`)."""
+    ids-only MUST_NOT decode. Lone unboosted phrase clauses route to
+    phrase mode (slop honored); wildcard/fuzzy clauses expand via
+    :func:`_expand_local` and MUST expansions run the shared grouped walk
+    (`_grouped_topk`); phrase clauses mixed with other clauses (or
+    boosted, or several) run the shared mixed scorer tree
+    (`bm25._mixed_walk`) — identical spec construction to
+    ``IndexReader.search_lucene``, so hits match the driver path
+    bit-for-bit."""
     import pyarrow.parquet as pq
 
     from .bm25 import (_boolean_topk, _Cursor, _excluded_ids,
-                       _grouped_topk, _merge_deleted, _wand_topk)
+                       _grouped_topk, _merge_deleted, _mixed_spec,
+                       _mixed_walk, _wand_topk)
     from .qparse import parse_query
 
     p = parse_query(query)
-    if p.phrases:
-        if (p.must or p.should or p.must_not or p.wildcards or p.fuzzies
-                or len(p.phrases) > 1):
-            raise NotImplementedError(
-                "phrase clauses cannot yet be combined with other clauses")
-        toks, _required, boost, slop = p.phrases[0]
-        if boost != 1.0:
-            raise NotImplementedError("phrase boosts not supported")
+    if (len(p.phrases) == 1 and p.phrases[0][2] == 1.0
+            and not (p.must or p.should or p.must_not
+                     or p.wildcards or p.fuzzies)):
+        toks, _required, _boost, slop = p.phrases[0]
         return _search_local(index_dir, " ".join(toks), k, "phrase", where,
                              slop=slop)
+    if p.phrases:
+        spec = _mixed_spec(p, _expand_local(index_dir, p))
+        if spec is None:
+            return []  # empty rewritten MUST clause: MatchNoDocs
+        return _mixed_local(index_dir, spec, k, where)
     boosts: dict[str, float] = {}
     for t, b in [*p.must, *p.should]:
         boosts.setdefault(t, b)

@@ -933,6 +933,28 @@ def q_bm25_phrase_slop(spark, sf):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+MIXED_QUERY = '+"table hash" filter -dup'  # phrase ∧ should ∧ prohibited
+
+
+def q_bm25_lucene_mixed(spark, sf):
+    """Phrase clauses interleaved with boolean clauses in ONE scorer tree
+    (Lucene BooleanQuery containing a PhraseQuery — the composition the
+    classic ``q`` string produces naturally): ``+"table hash" filter
+    -dup`` gates on the exact phrase, rides the SHOULD term, and excludes
+    docs containing the prohibited term, all in a single walk
+    (IndexReader._search_mixed: required phrase = a _PhraseCursor group on
+    the grouped leapfrog). Oracle: DuckDB restates the phrase pf
+    (adjacency self-join), the SHOULD term's BM25 contribution, and the
+    exclusion set from scratch."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf, positional=True))
+    hits = reader.search_lucene(MIXED_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 MISSPELLED = "sot"  # one edit from the corpus term "sort"
 
 

@@ -809,6 +809,151 @@ def test_phrase_slop_walks_and_surfaces(spark, pos_index_dir):
     assert got == [(d, round(s, 8)) for d, s in luc]
 
 
+# -- phrases mixed into boolean queries (one scorer tree, r5) ----------------
+
+
+def _brute_mixed(term_groups, should_terms, must_not, phrases, k=10,
+                 pred=lambda i: True):
+    """From-scratch mixed-clause BM25 over the _phrase_docs corpus:
+    ``term_groups`` = [(terms, boost)] at-least-one-of MUST gates,
+    ``should_terms`` = [(term, boost)] riders, ``phrases`` =
+    [(tokens, required, boost, slop)] scored boost·(Σ idf w/ multiplicity)
+    ·pf/(pf+K(dl)) with pf from the enumeration oracle."""
+    import collections
+    import math
+
+    from rdf_indexer_spark.analyzer import tokenize
+
+    docs = {i: tokenize(t) for i, t in _phrase_docs()}
+    n = len(docs)
+    dls = {i: len(ts) for i, ts in docs.items()}
+    avgdl = sum(dls.values()) / n
+    dfc = collections.Counter(t for ts in docs.values() for t in set(ts))
+
+    def idf(t):
+        return math.log(1 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+
+    def K(i):
+        return 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl)
+
+    def contrib(t, i, b=1.0):
+        tf = docs[i].count(t)
+        return b * idf(t) * tf / (tf + K(i))
+
+    hits = []
+    for i, ts in docs.items():
+        s = set(ts)
+        if not pred(i) or any(m in s for m in must_not):
+            continue
+        if any(not (set(g) & s) for g, _ in term_groups):
+            continue
+        pfs = [(toks, req, b, _brute_slop_pf(docs[i], list(toks), slop))
+               for toks, req, b, slop in phrases]
+        if any(req and pf == 0 for _, req, _, pf in pfs):
+            continue
+        has_should = (any(t in s for t, _ in should_terms)
+                      or any(pf > 0 for _, req, _, pf in pfs if not req))
+        if not term_groups and not any(req for _, req, _, _ in pfs) \
+                and not has_should:
+            continue
+        score = (sum(contrib(t, i, b) for g, b in term_groups
+                     for t in sorted(set(g)) if t in s)
+                 + sum(contrib(t, i, b) for t, b in should_terms if t in s)
+                 + sum(b * sum(idf(t) for t in toks) * pf / (pf + K(i))
+                       for toks, _req, b, pf in pfs if pf > 0))
+        hits.append((i, score))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(i, round(sc, 8)) for i, sc in hits[:k]]
+
+
+@pytest.mark.parametrize("q,groups,should,must_not,phrases", [
+    # required phrase + should term
+    ('+"alpha beta" gamma', [], [("gamma", 1.0)], [],
+     [(("alpha", "beta"), True, 1.0, 0)]),
+    # optional phrase + should term (no MUST → the OR walk)
+    ('"alpha beta" needle', [], [("needle", 1.0)], [],
+     [(("alpha", "beta"), False, 1.0, 0)]),
+    # must term + boosted optional phrase
+    ('+gamma "needle the"^2', [(["gamma"], 1.0)], [], [],
+     [(("needle", "the"), False, 2.0, 0)]),
+    # required phrase + prohibited term
+    ('+"alpha beta" -needle', [], [], ["needle"],
+     [(("alpha", "beta"), True, 1.0, 0)]),
+    # two optional phrases in one tree
+    ('"alpha beta" "needle the"', [], [], [],
+     [(("alpha", "beta"), False, 1.0, 0),
+      (("needle", "the"), False, 1.0, 0)]),
+    # sloppy phrase inside the mix
+    ('+"alpha gamma"~1 the', [], [("the", 1.0)], [],
+     [(("alpha", "gamma"), True, 1.0, 1)]),
+])
+def test_mixed_phrase_boolean_matches_bruteforce(
+        spark, pos_index_dir, q, groups, should, must_not, phrases):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    want = _brute_mixed(groups, should, must_not, phrases)
+    assert want, f"vacuous case {q!r}"
+    for dist in (False, True):
+        got = [(d, round(s, 8)) for d, s in
+               reader.search_lucene(q, 10, distributed=dist)]
+        assert got == want, (q, dist, got[:3], want[:3])
+
+
+def test_mixed_phrase_edges_and_boost(spark, pos_index_dir):
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, pos_index_dir)
+    # lone BOOSTED phrase routes through the mixed walk and equals the
+    # dedicated phrase walk with scores scaled by the boost
+    base = reader.search_phrase("alpha beta", 10)
+    boosted = reader.search_lucene('"alpha beta"^1.5', 10)
+    assert [d for d, _ in boosted] == [d for d, _ in base]
+    for (_, s0), (_, s1) in zip(base, boosted):
+        assert s1 == pytest.approx(1.5 * s0, rel=1e-9)
+    # required phrase with an unindexed member term → MatchNoDocs
+    assert reader.search_lucene('+"alpha zzznope" gamma', 10) == []
+    # unindexed MUST term kills the whole mixed query too
+    assert reader.search_lucene('+zzznope "alpha beta"', 10) == []
+    # optional phrase with an unindexed member just drops
+    got = reader.search_lucene('"alpha zzznope" gamma', 10)
+    want = reader.search_lucene("gamma", 10)
+    assert got == want
+    # fq composes on the mixed walk, both routes
+    want = _brute_mixed([], [("gamma", 1.0)], [],
+                        [(("alpha", "beta"), True, 1.0, 0)],
+                        pred=lambda i: i % 2 == 0)
+    for dist in (False, True):
+        got = [(d, round(s, 8)) for d, s in reader.search_lucene(
+            '+"alpha beta" gamma', 10, where="doc_id % 2 = 0",
+            distributed=dist)]
+        assert got == want
+
+
+def test_sql_surface_mixed_phrase(spark, pos_index_dir):
+    """The SQL surface runs the identical mixed scorer tree worker-side."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, pos_index_dir, name="bm25_search_mix")
+    reader = IndexReader(spark, pos_index_dir)
+    for q in ('+"alpha beta" gamma', '"alpha beta" needle',
+              '+gamma "needle the"^2', '"alpha beta" "needle the"',
+              '+"alpha gamma"~1 the'):
+        want = [(d, round(s, 8)) for d, s in reader.search_lucene(q, 10)]
+        got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+            f"SELECT * FROM bm25_search_mix('{q}', 10, 'lucene') "
+            "ORDER BY rank").collect()]
+        assert got == want, q
+    q = '+"alpha beta" gamma'
+    want = [(d, round(s, 8)) for d, s in
+            reader.search_lucene(q, 10, where="doc_id % 2 = 0")]
+    got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+        f"SELECT * FROM bm25_search_mix('{q}', 10, 'lucene', "
+        "'doc_id % 2 = 0') ORDER BY rank").collect()]
+    assert got == want
+
+
 def test_phrase_filtered_and_tombstoned(spark, tmp_path):
     """fq `where` composes with phrase search (scores unchanged, hits
     filtered), and tombstoned docs vanish from both the walk and the
@@ -1248,8 +1393,10 @@ def test_boolean_edges_and_lucene_routing(spark, bool_index_dir):
            reader.search_lucene("+alpha -beta gamma^2", 10)]
     assert got == _brute_boolean(["alpha"], ["gamma"], ["beta"],
                                  {"gamma": 2.0})
-    # phrase+boolean mixes are an explicit boundary
-    with pytest.raises(NotImplementedError):
+    # phrase+boolean mixes run the mixed walk, which needs positions —
+    # on this bag-of-words index that is a loud ValueError, not a wrong
+    # answer (the mixed path itself is tested on pos_index_dir)
+    with pytest.raises(ValueError, match="positional"):
         reader.search_lucene('+alpha "beta gamma"', 5)
 
 
