@@ -1301,14 +1301,16 @@ class IndexReader:
         The distributed path runs the identical walk per part bucket
         (disjoint doc-id stripes make phrase matching bucket-local) with
         the standard ≤ parts·k driver merge."""
-        term_groups, should_terms, must_not, phrases = spec
+        term_groups, should_terms, must_not, phrases, not_phrases = spec
         self._require_positional()
         phrase_terms = {t for toks, *_ in phrases for t in toks}
+        np_terms = {t for toks, _ in not_phrases for t in toks}
         scored = sorted({t for g, _ in term_groups for t in g}
                         | {t for t, _ in should_terms} | phrase_terms)
         if not scored:
             return []
-        all_stats = self.term_stats(sorted(set(scored) | set(must_not)))
+        all_stats = self.term_stats(
+            sorted(set(scored) | set(must_not) | np_terms))
         # global MatchNoDocs: a required clause with an unindexed member
         for g, _ in term_groups:
             if not any(t in all_stats for t in g):
@@ -1331,7 +1333,10 @@ class IndexReader:
                 distributed = (sum(s["df"] for s in all_stats.values())
                                > self.DISTRIBUTED_POSTINGS_THRESHOLD)
         self.last_path = "distributed" if distributed else "driver"
-        fetch = sorted(set(base_idfs) | set(must_not))
+        # prohibited-phrase terms fetch too (position walks build their
+        # exclusion sets), pruned to index-present ones
+        fetch = sorted(set(base_idfs) | set(must_not)
+                       | (np_terms & set(all_stats)))
         mn_set = set(must_not)
 
         if not distributed:
@@ -1341,7 +1346,8 @@ class IndexReader:
                 [r for t in must_not for r in blocks.get(t, [])])
             merged = _merge_deleted(self.tombstones, excluded)
             return _mixed_walk(blocks, base_idfs, avgdl, term_groups,
-                               should_terms, phrases, k, merged, allowed)
+                               should_terms, phrases, k, merged, allowed,
+                               not_phrases=not_phrases)
 
         tomb_bc = self._tomb_bc
         blocks_df = (
@@ -1371,7 +1377,8 @@ class IndexReader:
                 [r for t in mn_set for r in by_term.get(t, [])])
             merged = _merge_deleted(tomb_bc.value, excluded)
             hits = _mixed_walk(by_term, base_idfs, avgdl, term_groups,
-                               should_terms, phrases, k, merged, allow)
+                               should_terms, phrases, k, merged, allow,
+                               not_phrases=not_phrases)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in hits],
                  "score": [s for _, s in hits]},
@@ -1434,8 +1441,8 @@ class IndexReader:
 
         p = parse_query(q)
         if (len(p.phrases) == 1 and p.phrases[0][2] == 1.0
-                and not (p.must or p.should or p.must_not
-                         or p.wildcards or p.fuzzies)):
+                and not (p.must or p.should or p.must_not or p.wildcards
+                         or p.fuzzies or p.not_phrases)):
             toks, _required, _boost, slop = p.phrases[0]
             return self.search_phrase(" ".join(toks), k, where=where,
                                       slop=slop, distributed=distributed)
@@ -1449,7 +1456,7 @@ class IndexReader:
             + [(self.expand_fuzzy(t, e), occ, b)
                for t, e, occ, b in p.fuzzies]
         )
-        if p.phrases:
+        if p.phrases or p.not_phrases:
             spec = _mixed_spec(p, expansions)
             if spec is None:
                 return []  # empty rewritten MUST clause: MatchNoDocs
@@ -2198,6 +2205,17 @@ def _or_topk(
     return [(-d, s) for s, d in out]
 
 
+def _drain_phrase_ids(pc: "_PhraseCursor") -> np.ndarray:
+    """All doc ids a phrase matches (its cursor only lands on pf>0 docs) —
+    the exclusion set of a prohibited phrase, computed WHERE THE WALK RUNS
+    exactly like MUST_NOT terms' ids-only decode."""
+    ids = []
+    while not pc.exhausted:
+        ids.append(pc.cur_doc)
+        pc.advance()
+    return np.array(ids, dtype=np.int64)
+
+
 def _mixed_walk(
     by_term: dict[str, list], base_idfs: dict[str, float], avgdl: float,
     term_groups: list[tuple[list[str], float]],
@@ -2205,6 +2223,7 @@ def _mixed_walk(
     phrases: list[tuple[list[str], bool, float, int]],
     k: int,
     deleted: np.ndarray | None, allowed: np.ndarray | None,
+    not_phrases: list[tuple[list[str], int]] = (),
 ) -> list[tuple[int, float]]:
     """Build cursors from decoded-block lists and run the right walk for a
     MIXED clause set (terms + phrases) — the one scorer-tree composition
@@ -2218,7 +2237,18 @@ def _mixed_walk(
     → riders). A required clause with no member present here returns ∅ —
     globally that is Lucene's MatchNoDocs; per part it correctly yields an
     empty local top-k. Any MUST clause present → grouped walk; otherwise
-    the non-pruning OR walk (phrase cursors carry no block-max bounds)."""
+    the non-pruning OR walk (phrase cursors carry no block-max bounds).
+    ``not_phrases`` = (tokens, slop) prohibited phrases: their match ids
+    are drained into the deleted set here (where the walk runs — the
+    exclusion set never crosses the network, like MUST_NOT terms); a
+    prohibited phrase missing a member term here excludes nothing."""
+    for toks, slop in not_phrases:
+        uniq = sorted(set(toks))
+        if any(t not in by_term for t in uniq):
+            continue  # phrase cannot occur: nothing to exclude
+        zero_idfs = {t: 0.0 for t in uniq}  # exclusions never score
+        pc = _PhraseCursor(toks, zero_idfs, by_term, avgdl, slop=slop)
+        deleted = _merge_deleted(deleted, _drain_phrase_ids(pc))
     groups: list[list] = []
     for g, b in term_groups:
         cs = [_Cursor(t, base_idfs[t] * b, by_term[t], avgdl)
@@ -2256,8 +2286,9 @@ def _mixed_spec(p, expansions):
     sorted singleton groups (dedup first-boost-wins); MUST expansions keep
     parse order after them; SHOULD terms/expansions dedup first-boost-wins
     and drop terms already gating a group (the same rule the non-phrase
-    grouped path applies). Returns ``None`` when an empty MUST expansion
-    makes the whole query MatchNoDocs."""
+    grouped path applies); prohibited phrases pass through as
+    (tokens, slop) exclusions. Returns ``None`` when an empty MUST
+    expansion makes the whole query MatchNoDocs."""
     must_not = list(p.must_not)
     should: list[tuple[str, float]] = list(p.should)
     exp_groups: list[tuple[list[str], float]] = []
@@ -2282,7 +2313,9 @@ def _mixed_spec(p, expansions):
             sd.setdefault(t, b)
     phrases = [(list(toks), required, b, slop)
                for toks, required, b, slop in p.phrases]
-    return term_groups, sorted(sd.items()), sorted(set(must_not)), phrases
+    not_phrases = [(list(toks), slop) for toks, slop in p.not_phrases]
+    return (term_groups, sorted(sd.items()), sorted(set(must_not)),
+            phrases, not_phrases)
 
 
 def _excluded_ids(recs: list) -> np.ndarray:

@@ -11,6 +11,8 @@ see ``IndexReader.search_lucene``):
 * ``"quoted words"`` = exact phrase (positional index required);
   ``"quoted words"~2`` = sloppy phrase — ordered near-match semantics,
   see ``IndexReader.search_phrase(slop=...)`` for the exact contract;
+  ``-"quoted words"`` = prohibited phrase (docs containing the phrase
+  are excluded; slop applies, boosts rejected — exclusions never score);
 * ``wild*ard`` / ``wi?d`` = wildcard term (``*`` = any run, ``?`` = one
   char) — expanded against the term dictionary at search time (Lucene
   WildcardQuery under the SCORING_BOOLEAN_REWRITE, capped top-df);
@@ -63,8 +65,12 @@ class ParsedQuery:
     must: list[tuple[str, float]] = field(default_factory=list)
     should: list[tuple[str, float]] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
-    # (tokens, required?, boost, slop) per quoted clause
+    # (tokens, required?, boost, slop) per positive quoted clause
     phrases: list[tuple[tuple[str, ...], bool, float, int]] = \
+        field(default_factory=list)
+    # (tokens, slop) per prohibited quoted clause (-"..."; boost is
+    # meaningless on a non-scoring exclusion and rejected by the parser)
+    not_phrases: list[tuple[tuple[str, ...], int]] = \
         field(default_factory=list)
     # (lowercased pattern, occur '+'/'-'/'', boost) per wildcard clause
     wildcards: list[tuple[str, str, float]] = field(default_factory=list)
@@ -169,11 +175,16 @@ def parse_query(q: str) -> ParsedQuery:
         prefix, phrase, slop_s, word, boost_s = m.groups()
         boost = float(boost_s) if boost_s else 1.0
         if phrase is not None:
-            if prefix == "-":
-                raise ValueError(
-                    "prohibited phrases (-\"...\") are not supported")
             toks = tuple(tokenize(phrase))
             slop = int(slop_s) if slop_s else 0
+            if prefix == "-":
+                if boost_s is not None:
+                    raise ValueError(
+                        "a boost on a prohibited phrase is meaningless "
+                        "(exclusions never score)")
+                if toks:
+                    out.not_phrases.append((toks, slop))
+                continue
             if toks:
                 out.phrases.append((toks, prefix == "+", boost, slop))
             continue

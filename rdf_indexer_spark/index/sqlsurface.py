@@ -140,8 +140,9 @@ def _mixed_local(index_dir: str, spec, k: int,
 
     from .bm25 import _excluded_ids, _merge_deleted, _mixed_walk
 
-    term_groups, should_terms, must_not, phrases = spec
+    term_groups, should_terms, must_not, phrases, not_phrases = spec
     phrase_terms = {t for toks, *_ in phrases for t in toks}
+    np_terms = {t for toks, _ in not_phrases for t in toks}
     scored = sorted({t for g, _ in term_groups for t in g}
                     | {t for t, _ in should_terms} | phrase_terms)
     if not scored:
@@ -149,7 +150,8 @@ def _mixed_local(index_dir: str, spec, k: int,
     state = _load_reader_state(index_dir)
     ts = pq.read_table(
         os.path.join(index_dir, "termstats"),
-        filters=[("term", "in", sorted(set(scored) | set(must_not)))],
+        filters=[("term", "in",
+                  sorted(set(scored) | set(must_not) | np_terms))],
     ).to_pylist()
     indexed = {r["term"] for r in ts}
     for g, _ in term_groups:
@@ -165,7 +167,8 @@ def _mixed_local(index_dir: str, spec, k: int,
     }
     if not base_idfs:
         return []
-    fetch = sorted(set(base_idfs) | set(must_not))
+    fetch = sorted(set(base_idfs) | set(must_not)
+                   | (np_terms & indexed))
     blocks_tbl = pq.read_table(
         os.path.join(index_dir, "blocks"),
         columns=["term", "first_doc_id", "last_doc_id", "n", "max_tf",
@@ -178,7 +181,7 @@ def _mixed_local(index_dir: str, spec, k: int,
     for t in by_term:
         by_term[t].sort(key=lambda r: r["first_doc_id"])
     if any(r["pos_bin"] is None
-           for t in phrase_terms for r in by_term.get(t, [])):
+           for t in (phrase_terms | np_terms) for r in by_term.get(t, [])):
         raise ValueError(
             "not a positional index: rebuild with "
             "build_index(positions=True) for phrase queries")
@@ -189,7 +192,8 @@ def _mixed_local(index_dir: str, spec, k: int,
         [r for t in must_not for r in by_term.get(t, [])])
     merged = _merge_deleted(state["tombstones"], excluded)
     return _mixed_walk(by_term, base_idfs, state["avgdl"], term_groups,
-                       should_terms, phrases, k, merged, allowed)
+                       should_terms, phrases, k, merged, allowed,
+                       not_phrases=not_phrases)
 
 
 def _lucene_local(index_dir: str, query: str, k: int,
@@ -215,12 +219,12 @@ def _lucene_local(index_dir: str, query: str, k: int,
 
     p = parse_query(query)
     if (len(p.phrases) == 1 and p.phrases[0][2] == 1.0
-            and not (p.must or p.should or p.must_not
-                     or p.wildcards or p.fuzzies)):
+            and not (p.must or p.should or p.must_not or p.wildcards
+                     or p.fuzzies or p.not_phrases)):
         toks, _required, _boost, slop = p.phrases[0]
         return _search_local(index_dir, " ".join(toks), k, "phrase", where,
                              slop=slop)
-    if p.phrases:
+    if p.phrases or p.not_phrases:
         spec = _mixed_spec(p, _expand_local(index_dir, p))
         if spec is None:
             return []  # empty rewritten MUST clause: MatchNoDocs

@@ -813,7 +813,7 @@ def test_phrase_slop_walks_and_surfaces(spark, pos_index_dir):
 
 
 def _brute_mixed(term_groups, should_terms, must_not, phrases, k=10,
-                 pred=lambda i: True):
+                 pred=lambda i: True, not_phrases=()):
     """From-scratch mixed-clause BM25 over the _phrase_docs corpus:
     ``term_groups`` = [(terms, boost)] at-least-one-of MUST gates,
     ``should_terms`` = [(term, boost)] riders, ``phrases`` =
@@ -844,6 +844,9 @@ def _brute_mixed(term_groups, should_terms, must_not, phrases, k=10,
     for i, ts in docs.items():
         s = set(ts)
         if not pred(i) or any(m in s for m in must_not):
+            continue
+        if any(_brute_slop_pf(docs[i], list(toks), slop) > 0
+               for toks, slop in not_phrases):
             continue
         if any(not (set(g) & s) for g, _ in term_groups):
             continue
@@ -898,6 +901,47 @@ def test_mixed_phrase_boolean_matches_bruteforce(
         got = [(d, round(s, 8)) for d, s in
                reader.search_lucene(q, 10, distributed=dist)]
         assert got == want, (q, dist, got[:3], want[:3])
+
+
+def test_prohibited_phrase(spark, pos_index_dir):
+    """-"..." exclusions: docs containing the prohibited phrase vanish
+    (order-sensitively — docs with the terms but not the phrase stay),
+    slop applies to the exclusion, and all three routes agree."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    reader = IndexReader(spark, pos_index_dir)
+    cases = [
+        # should term + prohibited exact phrase
+        ('gamma -"alpha beta"', [], [("gamma", 1.0)], [],
+         [], [(("alpha", "beta"), 0)]),
+        # required phrase + prohibited phrase in one tree
+        ('+"needle the" -"the the"', [], [], [],
+         [(("needle", "the"), True, 1.0, 0)], [(("the", "the"), 0)]),
+        # sloppy exclusion
+        ('gamma -"alpha gamma"~1', [], [("gamma", 1.0)], [],
+         [], [(("alpha", "gamma"), 1)]),
+    ]
+    for q, groups, should, mnot, phrases, nphrases in cases:
+        want = _brute_mixed(groups, should, mnot, phrases,
+                            not_phrases=nphrases)
+        assert want, f"vacuous case {q!r}"
+        for dist in (False, True):
+            got = [(d, round(s, 8)) for d, s in
+                   reader.search_lucene(q, 10, distributed=dist)]
+            assert got == want, (q, dist, got[:3], want[:3])
+    register_sql_surface(spark, pos_index_dir, name="bm25_search_np")
+    q = 'gamma -"alpha beta"'
+    want = [(d, round(s, 8)) for d, s in reader.search_lucene(q, 10)]
+    got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+        f"SELECT * FROM bm25_search_np('{q}', 10, 'lucene') "
+        "ORDER BY rank").collect()]
+    assert got == want
+    # pure-negative query matches nothing (Lucene)
+    assert reader.search_lucene('-"alpha beta"', 10) == []
+    # prohibited phrase with an unindexed term excludes nothing
+    assert (reader.search_lucene('gamma -"alpha zzznope"', 10)
+            == reader.search_lucene("gamma", 10))
 
 
 def test_mixed_phrase_edges_and_boost(spark, pos_index_dir):
@@ -1279,8 +1323,12 @@ def test_qparse_clauses_and_errors():
     # a multi-token clause inherits its prefix/boost (analyzer splits it)
     p = parse_query("+Foo-Bar^3")
     assert p.must == [("foo", 3.0), ("bar", 3.0)]
+    # prohibited phrases parse into their own clause list (slop rides)
+    p = parse_query('alpha -"beta gamma"~1')
+    assert p.should == [("alpha", 1.0)]
+    assert p.not_phrases == [(("beta", "gamma"), 1)]
     for bad in ['a AND b', 'NOT a', 'title:x',
-                '"unbalanced', '-"no neg phrases"']:
+                '"unbalanced', '-"no boosted neg"^2']:
         with pytest.raises(ValueError):
             parse_query(bad)
 
