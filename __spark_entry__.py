@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": Q.q_bm25_fuzzy,
         "bm25_phrase_slop": Q.q_bm25_phrase_slop,
         "bm25_lucene_mixed": Q.q_bm25_lucene_mixed,
+        "bm25_min_should": Q.q_bm25_min_should,
     }
 
 
@@ -499,6 +500,39 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
 
+    # bm25_min_should oracle (OR over the standard 3 terms, mm=2): the
+    # usual from-scratch BM25 with a HAVING matched-terms >= 2 gate —
+    # Lucene's minimumNumberShouldMatch.
+    bm25_mm_sql = f"""
+        WITH q(term) AS (VALUES {bm25_terms}),
+        tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+          HAVING count(*) >= 2
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
     # bm25_lucene_mixed oracle ('+"table hash" filter -dup'): one scorer
     # tree — the REQUIRED exact phrase gates (pf > 0 via the adjacency
     # self-join), the SHOULD term adds its own idf·tf-saturation where
@@ -811,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": bm25_fuzzy_sql,
         "bm25_phrase_slop": bm25_slop_sql,
         "bm25_lucene_mixed": bm25_mixed_sql,
+        "bm25_min_should": bm25_mm_sql,
         # index mutation (update_documents = delete+append) vs the
         # two-version-corpus SQL restatement (deleted-docs statistics)
         "bm25_after_update": bm25_update_sql,

@@ -1008,7 +1008,7 @@ class IndexReader:
         self, must: list[str] = (), should: list[str] = (),
         must_not: list[str] = (), *, boosts: dict[str, float] | None = None,
         k: int = 10, where: str | None = None,
-        distributed: bool | None = None,
+        distributed: bool | None = None, min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Lucene BooleanQuery under BM25 (the full Solr ``q`` clause
         algebra short of phrases): MUST terms gate the match set
@@ -1018,6 +1018,16 @@ class IndexReader:
         MUST_NOT: a pure-negative query matches nothing), and ``boosts``
         scales a term's idf (Solr ``term^2.5``). Modern Lucene's
         BM25Similarity has no coord() factor and neither does this.
+
+        ``min_should_match`` = Lucene's minimumNumberShouldMatch (Solr
+        dismax ``mm``): a matching doc must additionally align at least
+        that many SHOULD clauses — one clause per DISTINCT should term
+        after analysis (our dedup rule), clauses counted whether or not
+        the term is indexed (an unindexed clause can never match, so
+        ``mm`` > index-present clauses matches nothing, Lucene's rule).
+        Pure-SHOULD queries with ``mm`` > 1 run the exact counting OR
+        walk (:func:`_or_topk` — Lucene's own MinShouldMatchSumScorer
+        also forgoes WAND there); ``mm`` ≤ 1 keeps block-max pruning.
 
         MUST_NOT at scale: the prohibited terms' postings are decoded
         ids-only WHERE THE WALK RUNS — per part bucket on the executors in
@@ -1062,6 +1072,7 @@ class IndexReader:
 
         must_set, should_set = set(must_t), set(should_t)
         mn_set = set(must_not_t)
+        mm = int(min_should_match)
 
         if not distributed:
             allowed = self.allowed_ids(where)
@@ -1075,7 +1086,11 @@ class IndexReader:
                         for t in should_t if t in blocks]
             if must_t:
                 return _boolean_topk(must_c, should_c, k, n_required,
-                                     deleted=merged, allowed=allowed)
+                                     deleted=merged, allowed=allowed,
+                                     min_should_match=mm)
+            if mm > 1:
+                return _or_topk(should_c, k, deleted=merged,
+                                allowed=allowed, min_match=mm)
             return _wand_topk(should_c, k, deleted=merged, allowed=allowed)
 
         tomb_bc = self._tomb_bc
@@ -1110,7 +1125,11 @@ class IndexReader:
                         for t in sorted(should_set) if t in by_term]
             if must_set:
                 hits = _boolean_topk(must_c, should_c, k, n_required,
-                                     deleted=merged, allowed=allow)
+                                     deleted=merged, allowed=allow,
+                                     min_should_match=mm)
+            elif mm > 1:
+                hits = _or_topk(should_c, k, deleted=merged,
+                                allowed=allow, min_match=mm)
             elif should_c:
                 hits = _wand_topk(should_c, k, deleted=merged,
                                   allowed=allow)
@@ -1412,7 +1431,7 @@ class IndexReader:
 
     def search_lucene(
         self, q: str, k: int = 10, *, where: str | None = None,
-        distributed: bool | None = None,
+        distributed: bool | None = None, min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Search with Lucene classic query syntax (the Solr ``q`` string
         the reference's production surface speaks): ``+required``,
@@ -1440,6 +1459,13 @@ class IndexReader:
         from .qparse import parse_query
 
         p = parse_query(q)
+        if min_should_match and (p.phrases or p.not_phrases
+                                 or p.wildcards or p.fuzzies):
+            raise ValueError(
+                "min_should_match is supported for plain term clauses "
+                "only — Lucene counts an expanded/phrase clause as ONE "
+                "optional clause, which our flattened rewrite cannot "
+                "honor; compose via search_boolean if needed")
         if (len(p.phrases) == 1 and p.phrases[0][2] == 1.0
                 and not (p.must or p.should or p.must_not or p.wildcards
                          or p.fuzzies or p.not_phrases)):
@@ -1489,7 +1515,8 @@ class IndexReader:
                 where=where, distributed=distributed)
         return self.search_boolean(
             [t for t, _ in p.must], should, must_not,
-            boosts=boosts, k=k, where=where, distributed=distributed)
+            boosts=boosts, k=k, where=where, distributed=distributed,
+            min_should_match=min_should_match)
 
     def matched_docs(
         self, query: str, *, mode: str = "or", where: str | None = None,
@@ -2041,16 +2068,20 @@ def _and_topk(
 def _boolean_topk(
     must: list["_Cursor"], should: list["_Cursor"], k: int,
     n_required: int, deleted: np.ndarray | None = None,
-    allowed: np.ndarray | None = None,
+    allowed: np.ndarray | None = None, min_should_match: int = 0,
 ) -> list[tuple[int, float]]:
     """Mixed MUST/SHOULD exact top-k (Lucene BooleanQuery under BM25):
     leapfrog intersection over the MUST cursors defines the match set;
     SHOULD cursors are forward-only riders that add their contribution
-    whenever they align with a matched doc (they never gate matching).
-    MUST_NOT is handled upstream by merging the prohibited ids into
-    ``deleted``. Same (score desc, doc_id asc) tie-break as every walk."""
+    whenever they align with a matched doc (they gate matching only when
+    ``min_should_match`` > 0 — Lucene's minimumNumberShouldMatch: a doc
+    must additionally align ≥ that many SHOULD cursors). MUST_NOT is
+    handled upstream by merging the prohibited ids into ``deleted``.
+    Same (score desc, doc_id asc) tie-break as every walk."""
     if k <= 0 or n_required <= 0 or len(must) < n_required:
         return []
+    if min_should_match > len(should):
+        return []  # fewer optional clauses than required matches
     heap: list[tuple[float, int]] = []
 
     def offer(doc: int, score: float) -> None:
@@ -2076,6 +2107,7 @@ def _boolean_topk(
             break
         if all(c.cur_doc == target for c in must):
             score = 0.0
+            matched_should = 0
             for c in sorted(must, key=lambda c: c.term):
                 score += c.contribution()
             for c in should_sorted:
@@ -2083,7 +2115,9 @@ def _boolean_topk(
                     c.next_geq(target)
                 if not c.exhausted and c.cur_doc == target:
                     score += c.contribution()
-            offer(target, score)
+                    matched_should += 1
+            if matched_should >= min_should_match:
+                offer(target, score)
             for c in must:
                 c.advance()
 
@@ -2166,15 +2200,19 @@ def _grouped_topk(
 def _or_topk(
     cursors: list, k: int,
     deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+    min_match: int = 1,
 ) -> list[tuple[int, float]]:
     """Exact disjunctive top-k WITHOUT block-max pruning: the walk for
     should-only clause mixes that include phrase cursors (which provide no
-    block bounds, so WAND would be unsound). Doc-at-a-time min-merge over
-    all live cursors; contributions summed in ascending ``.term`` order
-    (the determinism discipline). Every candidate is evaluated — exact by
-    construction, and the cost is bounded by the clauses' postings like
-    the exhaustive scorer's."""
-    if k <= 0:
+    block bounds, so WAND would be unsound) and for
+    ``min_should_match`` > 1 term queries (Lucene's
+    MinShouldMatchSumScorer shape: a doc needs ≥ ``min_match`` aligned
+    cursors to match). Doc-at-a-time min-merge over all live cursors;
+    contributions summed in ascending ``.term`` order (the determinism
+    discipline). Every candidate is evaluated — exact by construction,
+    and the cost is bounded by the clauses' postings like the exhaustive
+    scorer's."""
+    if k <= 0 or min_match > len(cursors):
         return []
     heap: list[tuple[float, int]] = []
 
@@ -2195,11 +2233,11 @@ def _or_topk(
         if not live:
             break
         doc = min(c.cur_doc for c in live)
-        score = sum(c.contribution() for c in live if c.cur_doc == doc)
-        offer(doc, score)
-        for c in live:
-            if c.cur_doc == doc:
-                c.advance()
+        at_doc = [c for c in live if c.cur_doc == doc]
+        if len(at_doc) >= min_match:
+            offer(doc, sum(c.contribution() for c in at_doc))
+        for c in at_doc:
+            c.advance()
 
     out = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(-d, s) for s, d in out]

@@ -197,7 +197,8 @@ def _mixed_local(index_dir: str, spec, k: int,
 
 
 def _lucene_local(index_dir: str, query: str, k: int,
-                  where: str | None = None) -> list[tuple[int, float]]:
+                  where: str | None = None,
+                  mm: int = 0) -> list[tuple[int, float]]:
     """Worker-side Lucene classic-syntax search: parse the ``q`` string
     (qparse) and run the boolean walk over pyarrow-fetched blocks — the
     same MUST/SHOULD/MUST_NOT/boost semantics as
@@ -218,6 +219,11 @@ def _lucene_local(index_dir: str, query: str, k: int,
     from .qparse import parse_query
 
     p = parse_query(query)
+    if mm and (p.phrases or p.not_phrases or p.wildcards or p.fuzzies):
+        raise ValueError(
+            "mm (minimum should match) is supported for plain term "
+            "clauses only — expanded/phrase clause counting differs "
+            "from the flattened rewrite")
     if (len(p.phrases) == 1 and p.phrases[0][2] == 1.0
             and not (p.must or p.should or p.must_not or p.wildcards
                      or p.fuzzies or p.not_phrases)):
@@ -306,14 +312,20 @@ def _lucene_local(index_dir: str, query: str, k: int,
               for t in must_t if t in by_term]
     if must_t:
         return _boolean_topk(must_c, should_c, k, len(must_t),
-                             deleted=merged, allowed=allowed)
+                             deleted=merged, allowed=allowed,
+                             min_should_match=mm)
+    if mm > 1:
+        from .bm25 import _or_topk
+
+        return _or_topk(should_c, k, deleted=merged, allowed=allowed,
+                        min_match=mm)
     return _wand_topk(should_c, k, deleted=merged, allowed=allowed)
 
 
 def _search_local(index_dir: str, query: str, k: int,
                   mode: str = "or",
                   where: str | None = None,
-                  slop: int = 0) -> list[tuple[int, float]]:
+                  slop: int = 0, mm: int = 0) -> list[tuple[int, float]]:
     """The full WAND walk against the on-disk index, no Spark involved.
 
     Reuses the exact cursor/walk implementation of the driver path
@@ -329,9 +341,12 @@ def _search_local(index_dir: str, query: str, k: int,
     from .bm25 import _Cursor, _and_topk, _phrase_topk, _wand_topk
 
     if mode == "lucene":
-        return _lucene_local(index_dir, query, k, where)
+        return _lucene_local(index_dir, query, k, where, mm=mm)
     if mode not in ("or", "and", "phrase"):
         raise ValueError(f"unknown mode: {mode!r}")
+    if mm and mode != "or":
+        raise ValueError("mm applies to mode='or' or plain 'lucene' "
+                         "queries only")
     state = _load_reader_state(index_dir)
     toks = tokenize(query)  # order + duplicates kept (phrase mode)
     terms = sorted(set(toks))
@@ -393,6 +408,11 @@ def _search_local(index_dir: str, query: str, k: int,
         # n_required = EVERY query term (same contract as search_wand)
         return _and_topk(cursors, k, len(terms), deleted=state["tombstones"],
                          allowed=allowed)
+    if mm > 1:
+        from .bm25 import _or_topk
+
+        return _or_topk(cursors, k, deleted=state["tombstones"],
+                        allowed=allowed, min_match=mm)
     return _wand_topk(cursors, k, deleted=state["tombstones"],
                       allowed=allowed)
 
@@ -408,17 +428,21 @@ def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
     walk — ``IndexReader.search_lucene`` in SQL); ``where`` is an
     optional fq visibility predicate over the docstore (the Solr q+fq
     composition — relevance plus a non-scoring filter), evaluated
-    index-side on the worker exactly like ``IndexReader.search(where=...)``.
+    index-side on the worker exactly like ``IndexReader.search(where=...)``;
+    ``mm`` is Lucene's minimumNumberShouldMatch (Solr dismax ``mm``) for
+    'or' and plain-clause 'lucene' queries, as in
+    ``IndexReader.search_boolean(min_should_match=...)``.
 
     Returns the registered UDTF handle. The index path is bound at
-    registration time (SQL callers pass only query/k/mode/where)."""
+    registration time (SQL callers pass only query/k/mode/where/mm)."""
     from pyspark.sql.functions import udtf
 
     class BM25Search:
         def eval(self, query: str, k: int, mode: str = "or",
-                 where: str = None):
+                 where: str = None, mm: int = 0):
             for rank, (doc, score) in enumerate(
-                _search_local(index_dir, query, int(k), mode, where)
+                _search_local(index_dir, query, int(k), mode, where,
+                              mm=int(mm or 0))
             ):
                 yield int(doc), float(score), rank + 1
 

@@ -955,6 +955,22 @@ def q_bm25_lucene_mixed(spark, sf):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_min_should(spark, sf):
+    """Lucene minimumNumberShouldMatch / Solr dismax ``mm``: OR-mode BM25
+    over (window, shuffle, join) where a doc must contain ≥ 2 of the
+    query terms — the exact counting OR walk (bm25._or_topk; Lucene's
+    MinShouldMatchSumScorer shape). Oracle: the standard from-scratch SQL
+    BM25 with a HAVING matched-terms ≥ 2 gate."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_boolean(
+        [], ["window", "shuffle", "join"], [], k=10, min_should_match=2)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 MISSPELLED = "sot"  # one edit from the corpus term "sort"
 
 

@@ -1375,8 +1375,9 @@ def bool_index_dir(spark, tmp_path_factory):
 
 
 def _brute_boolean(must, should, must_not, boosts=None, k=10,
-                   pred=lambda i: True):
-    """From-scratch BooleanQuery BM25 over the _bool_corpus spec."""
+                   pred=lambda i: True, mm=0):
+    """From-scratch BooleanQuery BM25 over the _bool_corpus spec; ``mm`` =
+    minimumNumberShouldMatch (a doc must contain ≥ mm should terms)."""
     import collections
     import math
 
@@ -1398,7 +1399,10 @@ def _brute_boolean(must, should, must_not, boosts=None, k=10,
         s = set(ts)
         if any(m not in s for m in must) or any(m in s for m in must_not):
             continue
-        if not pred(i) or not (must or any(t in s for t in should)):
+        matched_should = sum(1 for t in should if t in s)
+        if matched_should < mm:
+            continue
+        if not pred(i) or not (must or matched_should >= 1):
             continue
         hits.append((i, sum(contrib(t, i) for t in must)
                      + sum(contrib(t, i) for t in should if t in s)))
@@ -1469,6 +1473,52 @@ def test_sql_surface_lucene_mode(spark, bool_index_dir):
         f"SELECT * FROM bm25_search_luc('{q}', 10, 'lucene', "
         f"'doc_id < 60') ORDER BY rank").collect()]
     assert got == want
+
+
+def test_min_should_match(spark, bool_index_dir):
+    """Lucene minimumNumberShouldMatch (Solr dismax mm): a doc must align
+    ≥ mm SHOULD clauses — brute-force-twinned on both routes, through the
+    parser surface and the SQL surface, with the Lucene
+    fewer-clauses-than-mm → MatchNoDocs rule."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    reader = IndexReader(spark, bool_index_dir)
+    cases = [
+        ([], ["alpha", "beta", "gamma"], [], 2),   # pure-should, mm=2
+        ([], ["alpha", "beta", "gamma"], [], 3),   # all three required
+        (["w0"], ["alpha", "gamma"], [], 1),       # must + gated should
+        ([], ["alpha", "beta"], ["gamma"], 2),     # mm + MUST_NOT
+    ]
+    for must, should, mnot, mm in cases:
+        want = _brute_boolean(must, should, mnot, mm=mm)
+        assert want, f"vacuous case {(must, should, mm)}"
+        for dist in (False, True):
+            got = [(d, round(s, 8)) for d, s in reader.search_boolean(
+                must, should, mnot, k=10, min_should_match=mm,
+                distributed=dist)]
+            assert got == want, (must, should, mm, dist)
+    # mm > optional clause count matches nothing (Lucene's rule), and an
+    # unindexed clause can never help reach the threshold
+    assert reader.search_boolean([], ["alpha", "beta"],
+                                 min_should_match=3) == []
+    assert reader.search_boolean([], ["alpha", "zzznope"],
+                                 min_should_match=2) == []
+    # parser surface
+    want = _brute_boolean([], ["alpha", "beta", "gamma"], [], mm=2)
+    got = [(d, round(s, 8)) for d, s in
+           reader.search_lucene("alpha beta gamma", 10,
+                                min_should_match=2)]
+    assert got == want
+    with pytest.raises(ValueError, match="min_should_match"):
+        reader.search_lucene('alpha "beta gamma"', 10, min_should_match=2)
+    # SQL surface: 5th arg, both 'or' and 'lucene' modes
+    register_sql_surface(spark, bool_index_dir, name="bm25_search_mm")
+    for mode in ("or", "lucene"):
+        got = [(r["doc_id"], round(r["score"], 8)) for r in spark.sql(
+            "SELECT * FROM bm25_search_mm('alpha beta gamma', 10, "
+            f"'{mode}', CAST(NULL AS STRING), 2) ORDER BY rank").collect()]
+        assert got == want, mode
 
 
 # -- wildcard / fuzzy expansion + grouped MUST walk (r5) ---------------------
