@@ -957,6 +957,17 @@ class IndexReader:
         ``startswith`` predicate (parquet-pushable ``StringStartsWith``
         — the dictionary scan prunes by row-group range like Lucene's
         FST prefix seek) with the full anchored regex as the residual."""
+        rows = self.expand_wildcard_df(
+            pattern, max_expansions=max_expansions).collect()
+        return [r["term"] for r in rows]
+
+    def expand_wildcard_df(
+        self, pattern: str, *, max_expansions: int | None = None,
+    ) -> DataFrame:
+        """The declarative dictionary-expansion plan behind
+        :meth:`expand_wildcard` (exposed so the plan-audit suite can
+        assert the ``StringStartsWith`` prefix predicate reaches the
+        parquet scan)."""
         from .qparse import wildcard_regex
 
         cap = max_expansions or self.MAX_WILDCARD_EXPANSIONS
@@ -967,12 +978,11 @@ class IndexReader:
         prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
         if prefix:
             cond = F.col("term").startswith(prefix) & cond
-        rows = (
+        return (
             ts.select("term", "df").filter(cond)
             .orderBy(F.desc("df"), F.asc("term"))
-            .limit(cap).collect()
+            .limit(cap)
         )
-        return [r["term"] for r in rows]
 
     def expand_fuzzy(
         self, term: str, max_edits: int = 2, *,

@@ -34,9 +34,20 @@ def main(argv: list[str] | None = None) -> int:
                          " requires an index built with positions=True")
     ap.add_argument("--lucene", action="store_true",
                     help="parse the query as a Lucene classic string "
-                         "(+must -prohibited term^boost, lone \"phrases\") "
-                         "and run the boolean walk")
+                         "(+must -prohibited term^boost, \"phrases\"[~slop]"
+                         " incl. -\"phrase\" exclusions, wild*cards, "
+                         "fuzzy~N) and run the matching walk")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="with --phrase: ordered near-match within N "
+                         "intervening positions (0 = exact)")
+    ap.add_argument("--mm", type=int, default=0,
+                    help="with --lucene (plain term clauses): Lucene "
+                         "minimumNumberShouldMatch / Solr dismax mm")
     args = ap.parse_args(argv)
+    if args.slop and not args.phrase:
+        ap.error("--slop requires --phrase (in --lucene use '\"...\"~N')")
+    if args.mm and not args.lucene:
+        ap.error("--mm requires --lucene")
     if args.lucene and (args.phrase or args.exhaustive):
         ap.error("--lucene cannot be combined with --phrase/--exhaustive "
                  "(the parser routes phrases itself)")
@@ -86,14 +97,15 @@ def main(argv: list[str] | None = None) -> int:
     query = args.query[0]
     if args.lucene:
         hits = reader.search_lucene(query, args.k,
-                                    distributed=args.distributed)
+                                    distributed=args.distributed,
+                                    min_should_match=args.mm)
         print(json.dumps({
             "query": query, "k": args.k, "mode": "lucene",
             "hits": [[int(d), float(s)] for d, s in hits],
         }))
         return 0
     if args.phrase:
-        hits = reader.search_phrase(query, args.k)
+        hits = reader.search_phrase(query, args.k, slop=args.slop)
         print(json.dumps({
             "query": query, "k": args.k, "mode": "phrase",
             "hits": [[int(d), float(s)] for d, s in hits],

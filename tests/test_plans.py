@@ -276,6 +276,29 @@ def test_search_sorted_plan_is_takeordered_with_pruned_scans(
         assert "lang" not in rs and "content_sha256" not in rs, ln
 
 
+def test_wildcard_expansion_plan_pushes_prefix(spark, serving_index):
+    """The dictionary-expansion scan behind wildcard clauses: a literal
+    prefix reaches the termstats parquet scan as StringStartsWith (the
+    FST-prefix-seek analogue — at a billion-term dictionary the scan
+    prunes row groups by the term column's min/max), with the anchored
+    regex as the residual filter, and the whole thing is a bounded
+    top-cap (no full-dictionary collect)."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, serving_index)
+    plan = _plan(reader.expand_wildcard_df("alp*a"))
+    assert "PushedFilters: [" in plan and "StringStartsWith(term,alp" in plan
+    assert "TakeOrdered" in plan  # limit+orderBy = top-cap, not global sort
+    # no-prefix patterns still prune columns (term, df only)
+    plan = _plan(reader.expand_wildcard_df("*eta"))
+    scans = [ln for ln in plan.splitlines()
+             if "termstats" in ln and "ReadSchema" in ln]
+    assert scans
+    for ln in scans:
+        rs = ln.split("ReadSchema")[-1]
+        assert "bytes" not in rs and "max_tf" not in rs, ln
+
+
 def test_facet_range_plan_broadcasts_counts_onto_spine(spark, serving_index):
     """The bucket spine join must broadcast (both sides are tiny — the
     spine is n_buckets rows, the counts at most that); a shuffled

@@ -133,3 +133,42 @@ def test_run_query_lucene_end_to_end(spark, tmp_path, capsys):
     assert out["mode"] == "lucene"
     want = IndexReader(spark, idx).search_lucene("+alpha -beta w1^2", 5)
     assert out["hits"] == [[d, s] for d, s in want]
+    # --mm passes through to min_should_match
+    rc = _main()(["--index-dir", idx, "--query", "alpha beta w1",
+                  "--lucene", "--mm", "2", "--k", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = IndexReader(spark, idx).search_lucene(
+        "alpha beta w1", 5, min_should_match=2)
+    assert out["hits"] == [[d, s] for d, s in want]
+
+
+def test_run_query_slop_and_flag_guards(spark, tmp_path, capsys):
+    """--slop rides --phrase (ordered near-match); --slop/--mm without
+    their base flags are argparse errors."""
+    import json
+
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    idx = str(tmp_path / "clislop")
+    docs = spark.createDataFrame(
+        [(0, "a c b"), (1, "a b"), (2, "b a"), (3, "a c c b")],
+        ["doc_id", "text"])
+    build_index(spark, docs, idx, num_buckets=1, resume=False,
+                positions=True)
+    rc = _main()(["--index-dir", idx, "--query", "a b",
+                  "--phrase", "--slop", "1", "--k", "10"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = IndexReader(spark, idx).search_phrase("a b", 10, slop=1)
+    assert out["hits"] == [[d, s] for d, s in want]
+    assert {h[0] for h in out["hits"]} == {0, 1}
+    for argv, flag in [
+        (["--index-dir", idx, "--query", "a b", "--slop", "1"], "--slop"),
+        (["--index-dir", idx, "--query", "a b", "--mm", "2"], "--mm"),
+    ]:
+        with pytest.raises(SystemExit) as e:
+            _main()(argv)
+        assert e.value.code == 2
+        assert flag in capsys.readouterr().err
