@@ -109,10 +109,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": Q.q_bm25_phrase_slop,
         "bm25_lucene_mixed": Q.q_bm25_lucene_mixed,
         "bm25_min_should": Q.q_bm25_min_should,
+        # deep paging, dictionary browse, pivot facets, rerank boost (r5)
+        "bm25_cursor_page2": Q.q_bm25_cursor_page2,
+        "terms_component": Q.q_terms_component,
+        "facet_pivot": Q.q_facet_pivot,
+        "bm25_rerank": Q.q_bm25_rerank,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from rdf_indexer_spark import queries as Q
+
     tok = f"regexp_extract_all(lower(text), '{TOKEN_RE2}')"
     bm25_terms = "('window'), ('shuffle'), ('join')"
     post_terms = "('data'), ('spark'), ('query')"
@@ -657,6 +664,86 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id % 3 = 0
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
+    # shared full-precision BM25 scores CTE body for the paging/rerank
+    # oracles: ordering happens on the UNROUNDED score column (matching the
+    # engine's float ordering exactly), rounding only on output
+    bm25_scores_cte = f"""
+        WITH q(term) AS (VALUES {bm25_terms}),
+        tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )"""
+    # cursorMark page 2: rows 11-20 of the FULL ranking — the inner ORDER
+    # BY runs on the raw score column so round-4 tie groups page exactly
+    # like the engine's full-precision (score desc, doc_id asc) cursor
+    bm25_cursor_sql = bm25_scores_cte + """
+        SELECT doc_id, round(score, 4) AS score FROM (
+          SELECT doc_id, score FROM scores
+          ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+        )
+    """
+    # rerank with additive function-query boost: SQL BM25 top-30 candidate
+    # window (full-precision order), then score + 0.001*n_chars re-sort
+    bm25_rerank_sql = bm25_scores_cte + f"""
+        , cand AS (
+          SELECT doc_id, score FROM scores
+          ORDER BY score DESC, doc_id ASC LIMIT {Q.RERANK_K}
+        ),
+        boosted AS (
+          SELECT c.doc_id,
+                 c.score + {Q.RERANK_WEIGHT} * coalesce(d.n_chars::DOUBLE, 0)
+                   AS score
+          FROM cand c JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, round(score, 4) AS score FROM boosted
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # terms component: dictionary df recount from the raw corpus, prefix
+    # filter + (df desc, term asc) top-15 — same deterministic boundary
+    terms_component_sql = f"""
+        WITH t AS (
+          SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents
+        )
+        SELECT term, df FROM (
+          SELECT term, count(*)::BIGINT AS df FROM t
+          WHERE term LIKE '{Q.TERMS_PREFIX}%' GROUP BY term
+          ORDER BY df DESC, term ASC LIMIT 4
+        )
+    """
+    # pivot facets: match set + two-level GROUP BY + per-parent top-3
+    facet_pivot_sql = f"""
+        WITH q(term) AS (VALUES {bm25_terms}),
+        matched AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+          WHERE term IN (SELECT term FROM q)
+        )
+        SELECT lang::VARCHAR AS parent_value, source::VARCHAR AS facet_value,
+               count(*)::BIGINT AS n
+        FROM documents JOIN matched USING (doc_id)
+        GROUP BY lang, source
+        QUALIFY row_number() OVER (
+          PARTITION BY parent_value ORDER BY n DESC, facet_value ASC) <= 3
+    """
     return {
         "archive_filter": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
@@ -854,6 +941,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": facets_sql,
         "facet_browse": facet_browse_sql,
         "bm25_mlt": mlt_sql,
+        # deep paging / dictionary browse / pivot facets / rerank (r5)
+        "bm25_cursor_page2": bm25_cursor_sql,
+        "terms_component": terms_component_sql,
+        "facet_pivot": facet_pivot_sql,
+        "bm25_rerank": bm25_rerank_sql,
         # spellcheck: dictionary df recomputed from the corpus, identical
         # (distance asc, df desc, term asc) ranking and the same
         # input-term exclusion as IndexReader.suggest

@@ -257,6 +257,7 @@ class IndexReader:
     def search_wand(
         self, query: str, k: int = 10, *, mode: str = "or",
         where: str | None = None, _idfs: dict[str, float] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         idfs = self.idfs(terms) if _idfs is None else _idfs
@@ -272,10 +273,12 @@ class IndexReader:
             # strict Lucene +required semantics: EVERY query term is
             # required, so a term absent from the index matches nothing
             return _and_topk(cursors, k, len(terms),
-                             deleted=self.tombstones, allowed=allowed)
+                             deleted=self.tombstones, allowed=allowed,
+                             after=after)
         if mode != "or":
             raise ValueError(f"unknown mode: {mode!r}")
-        return _wand_topk(cursors, k, deleted=self.tombstones, allowed=allowed)
+        return _wand_topk(cursors, k, deleted=self.tombstones, allowed=allowed,
+                          after=after)
 
     def search_phrase(
         self, phrase: str, k: int = 10, *, where: str | None = None,
@@ -536,6 +539,7 @@ class IndexReader:
     def search_wand_distributed(
         self, query: str, k: int = 10, *, mode: str = "or",
         where: str | None = None, _idfs: dict[str, float] | None = None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Block-max WAND with the cursor walk on the executors.
 
@@ -590,12 +594,17 @@ class IndexReader:
                 _Cursor(t, idfs[t], by_term[t], avgdl)
                 for t in sorted(by_term)
             ]
+            # the same `after` cursor applies verbatim per part: parts hold
+            # disjoint doc ids, so "strictly after (s0, d0)" is a pure
+            # per-doc predicate and the driver merge of per-part pages is
+            # exactly the global page
             if mode == "and":
                 hits = _and_topk(cursors, k, n_required,
-                                 deleted=tomb_bc.value, allowed=allow)
+                                 deleted=tomb_bc.value, allowed=allow,
+                                 after=after)
             else:
                 hits = _wand_topk(cursors, k, deleted=tomb_bc.value,
-                                  allowed=allow)
+                                  allowed=allow, after=after)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in hits], "score": [s for _, s in hits]},
                 columns=["doc_id", "score"],
@@ -1622,6 +1631,171 @@ class IndexReader:
             )
         )
 
+    def terms(
+        self, prefix: str | None = None, *, limit: int = 20,
+    ) -> DataFrame:
+        """Solr terms component (``terms.fl``/``terms.prefix`` — the
+        autocomplete/dictionary-browse surface): enumerate the term
+        dictionary with document frequencies, optionally prefix-filtered,
+        ordered by (df desc, term asc), top ``limit``.
+
+        One termstats scan — the prefix is a ``startswith`` Column filter
+        that pushes down to the parquet reader (StringStartsWith), and the
+        top-N is a TakeOrdered, so only ``limit`` rows reach the driver
+        side of the plan no matter the dictionary size. Like Lucene
+        ``docFreq``, counts are index-level and do not subtract tombstoned
+        docs until a compact (COVERAGE.md notes the parity)."""
+        ts = self.spark.read.parquet(self.paths.termstats).select(
+            "term", F.col("df").cast("long").alias("df"))
+        if prefix:
+            ts = ts.filter(F.col("term").startswith(prefix))
+        return ts.orderBy(F.desc("df"), F.asc("term")).limit(limit)
+
+    def facet_pivot(
+        self, query: str, fields: list[str], *, mode: str = "or",
+        where: str | None = None, top: int = 5,
+    ) -> DataFrame:
+        """Solr pivot facets (``facet.pivot=f1,f2``): nested value counts
+        over the query's FULL match set — for each value of ``fields[0]``,
+        the ``top`` values of ``fields[1]`` by (n desc, value asc).
+
+        Same scale shape as :meth:`facet_counts`: the match set ∩ metadata
+        step is a COGROUPED per-part kernel (ids-only block decode, numpy
+        membership mask, per-part PARTIAL pair counts), so the final
+        groupBy sees ≤ parts × |f1×f2 observed| rows — nothing proportional
+        to corpus size past the scans. Returns (parent_value, facet_value,
+        n) with ``fields[0]`` values cast to string like facet_counts."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        if len(fields) != 2:
+            raise ValueError("facet_pivot takes exactly two fields")
+        f1, f2 = fields
+        terms = sorted(set(tokenize(query))) if query not in ("", "*:*") \
+            else []
+        tomb_bc = self._tomb_bc
+        out_schema = "parent_value string, facet_value string, cnt long"
+        docmeta = self.spark.read.parquet(self.paths.docstore)
+        if where is not None:
+            docmeta = docmeta.filter(where)
+        docmeta = docmeta.select(
+            "part", "doc_id",
+            F.col(f1).cast("string").alias(f1),
+            F.col(f2).cast("string").alias(f2))
+
+        def _pair_counts(doc_pdf, matched: np.ndarray | None):
+            import pandas as pd
+
+            sub = doc_pdf
+            deleted = tomb_bc.value
+            if deleted is not None and len(deleted):
+                sub = sub[~sub["doc_id"].isin(deleted)]
+            if matched is not None:
+                sub = sub[np.isin(sub["doc_id"].values.astype(np.int64),
+                                  matched)]
+            if not len(sub):
+                return pd.DataFrame({
+                    "parent_value": pd.Series(dtype="object"),
+                    "facet_value": pd.Series(dtype="object"),
+                    "cnt": pd.Series(dtype="int64")})
+            g = (sub.groupby([f1, f2], dropna=False).size()
+                 .reset_index(name="cnt"))
+            return pd.DataFrame({
+                "parent_value": g[f1].astype("object"),
+                "facet_value": g[f2].astype("object"),
+                "cnt": g["cnt"].astype("int64")})
+
+        if not terms:
+            partial = docmeta.groupBy("part").applyInPandas(
+                lambda pdf: _pair_counts(pdf, None), schema=out_schema)
+        else:
+            stats = self.term_stats(terms)
+            if (not stats) or (mode == "and" and len(stats) < len(terms)):
+                return self.spark.createDataFrame([], out_schema).select(
+                    "parent_value", "facet_value", F.col("cnt").alias("n"))
+            n_req = len(terms)
+            blocks = (
+                self.spark.read.parquet(self.paths.blocks)
+                .filter(F.col("term").isin(sorted(stats)))
+                .select("part", "term", "ids_bin")
+            )
+
+            def _pivots(bl_pdf, doc_pdf):
+                per_term: dict[str, list] = {}
+                for rec in bl_pdf.to_dict("records"):
+                    ids = delta_decode(varbyte_decode(bytes(rec["ids_bin"])))
+                    per_term.setdefault(rec["term"], []).append(ids)
+                if mode == "and" and len(per_term) < n_req:
+                    return _pair_counts(doc_pdf.iloc[0:0], None)
+                sets = [np.unique(np.concatenate(v))
+                        for v in per_term.values()]
+                if not sets:
+                    return _pair_counts(doc_pdf.iloc[0:0], None)
+                matched = sets[0]
+                if mode == "and":
+                    for s in sets[1:]:
+                        matched = np.intersect1d(matched, s,
+                                                 assume_unique=True)
+                else:
+                    matched = np.unique(np.concatenate(sets)) \
+                        if len(sets) > 1 else sets[0]
+                return _pair_counts(doc_pdf, matched)
+
+            partial = (
+                blocks.groupBy("part")
+                .cogroup(docmeta.groupBy("part"))
+                .applyInPandas(_pivots, schema=out_schema)
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("parent_value").orderBy(
+            F.desc("n"), F.asc_nulls_last("facet_value"))
+        return (
+            partial.groupBy("parent_value", "facet_value")
+            .agg(F.sum("cnt").alias("n"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top)
+            .drop("_r")
+        )
+
+    def search_reranked(
+        self, query: str, k: int = 10, *, rerank_k: int = 50,
+        boost_field: str, boost_weight: float = 1.0, mode: str = "or",
+        where: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Solr rerank / additive function-query boost (``rq={!rerank
+        reRankDocs=N}`` with a ``bf=field`` boost, the
+        recency/popularity-boost production shape): fetch the BM25 top
+        ``rerank_k`` candidates, rescore each as ``bm25 + boost_weight ×
+        boost_field`` (a stored numeric docstore field, NULL → 0), and
+        return the top ``k`` under (score desc, doc_id asc).
+
+        Scale shape: candidates come from the distributed WAND walk
+        (≤ parts·rerank_k rows to the driver); the rescore joins the
+        BROADCAST candidate list against the pruned docstore scan
+        (doc_id + one numeric column), so the big side never shuffles.
+        Exact within the candidate window, like Lucene's ReRankQuery —
+        a doc outside the BM25 top-``rerank_k`` cannot enter the page."""
+        cands = self.search_wand_distributed(
+            query, rerank_k, mode=mode, where=where)
+        if not cands:
+            return []
+        cdf = self.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in cands],
+            "doc_id long, score double")
+        meta = self.spark.read.parquet(self.paths.docstore).select(
+            "doc_id", F.col(boost_field).cast("double").alias("_bf"))
+        rows = (
+            meta.join(F.broadcast(cdf), "doc_id")
+            .select(
+                "doc_id",
+                (F.col("score") + F.lit(float(boost_weight)) *
+                 F.coalesce("_bf", F.lit(0.0))).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def search_sorted(
         self, query: str, sort_by: str, *, ascending: bool = True,
         k: int = 10, mode: str = "or", where: str | None = None,
@@ -1692,6 +1866,7 @@ class IndexReader:
     def search(
         self, query: str, k: int = 10, *, distributed: bool | None = None,
         mode: str = "or", where: str | None = None,
+        after: tuple[int, float] | None = None,
     ) -> DataFrame:
         """Default query path. ``distributed=None`` auto-selects: the
         executor-side WAND walk (search_wand_distributed — the cluster-scale
@@ -1706,7 +1881,14 @@ class IndexReader:
         ``self.last_path`` ("driver" | "distributed").
 
         ONE termstats scan serves routing AND idf computation — the stats
-        fetched here are passed down to the chosen walk."""
+        fetched here are passed down to the chosen walk.
+
+        ``after`` = the previous page's last (doc_id, score) hit (Solr
+        cursorMark / Lucene searchAfter): returns the next ``k`` results
+        strictly after it in (score desc, doc_id asc) order — stateless
+        deep paging with no ``start`` offset, so page 10^6 costs the same
+        one walk as page 1 (Solr's start=N deep paging materializes N+k
+        candidates per shard; the cursor form is why CursorMark exists)."""
         terms = sorted(set(tokenize(query)))
         stats = self.term_stats(terms)
         idfs = {t: self._idf(s["df"]) for t, s in stats.items()}
@@ -1722,10 +1904,10 @@ class IndexReader:
         self.last_path = "distributed" if distributed else "driver"
         hits = (
             self.search_wand_distributed(query, k, mode=mode, where=where,
-                                         _idfs=idfs)
+                                         _idfs=idfs, after=after)
             if distributed
             else self.search_wand(query, k, mode=mode, where=where,
-                                  _idfs=idfs)
+                                  _idfs=idfs, after=after)
         )
         return self.spark.createDataFrame(
             [(int(d), float(s), r + 1) for r, (d, s) in enumerate(hits)],
@@ -2031,6 +2213,7 @@ def _in_sorted(arr: np.ndarray | None, doc: int) -> bool:
 def _and_topk(
     cursors: list[_Cursor], k: int, n_required: int,
     deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Conjunctive (pure-AND) exact top-k: leapfrog intersection of the
     term cursors, BM25-scored, (score desc, doc_id asc) tie-break.
@@ -2038,10 +2221,12 @@ def _and_topk(
     ``n_required`` is the number of query terms that exist in the INDEX
     (globally): a caller holding cursors for fewer terms (e.g. one part
     bucket of a distributed walk where a term has no postings) can match
-    nothing, keeping per-part results exact."""
+    nothing, keeping per-part results exact. ``after``: the previous
+    page's last ``(doc_id, score)`` hit (see :func:`_wand_topk`)."""
     if k <= 0 or n_required <= 0 or len(cursors) < n_required:
         return []
     heap: list[tuple[float, int]] = []
+    after_item = (after[1], -after[0]) if after is not None else None
 
     def offer(doc: int, score: float) -> None:
         if _in_sorted(deleted, doc):
@@ -2049,6 +2234,8 @@ def _and_topk(
         if allowed is not None and not _in_sorted(allowed, doc):
             return
         item = (score, -doc)
+        if after_item is not None and item >= after_item:
+            return  # at or before the page cursor: already served
         if len(heap) < k:
             heapq.heappush(heap, item)
         elif item > heap[0]:
@@ -2481,6 +2668,7 @@ def _phrase_topk(
 def _wand_topk(
     cursors: list[_Cursor], k: int, deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND: exact top-k under (score desc, doc_id asc).
 
@@ -2491,10 +2679,17 @@ def _wand_topk(
     filter) — tombstoned docs are evaluated but never admitted to the heap.
     ``allowed``: optional sorted visibility allowlist (the fq-filtered
     search surface) — docs outside it are evaluated but never admitted.
+    ``after``: cursor-paging mark — the previous page's last hit
+    ``(doc_id, score)`` exactly as these methods return hits (Lucene
+    ``searchAfter`` / Solr cursorMark): only docs STRICTLY after it in
+    (score desc, doc_id asc) result order are admitted, so consecutive
+    pages partition the full ranking with no overlap and no drift
+    regardless of how deep the caller pages.
     """
     if k <= 0:
         return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    after_item = (after[1], -after[0]) if after is not None else None
 
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else -math.inf
@@ -2505,6 +2700,8 @@ def _wand_topk(
         if allowed is not None and not _in_sorted(allowed, doc):
             return
         item = (score, -doc)
+        if after_item is not None and item >= after_item:
+            return  # at or before the page cursor: already served
         if len(heap) < k:
             heapq.heappush(heap, item)
         elif item > heap[0]:

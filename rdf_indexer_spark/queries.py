@@ -984,3 +984,75 @@ def q_spell_suggest(spark, sf):
 
     reader = IndexReader(spark, _index_for(spark, sf))
     return reader.suggest(MISSPELLED, max_dist=2, top=5)
+
+
+def q_bm25_cursor_page2(spark, sf):
+    """Solr cursorMark / Lucene searchAfter deep paging: page 1 = top-10,
+    page 2 = the next 10 strictly after page 1's last (score, doc_id) in
+    (score desc, doc_id asc) order. Page 2 runs through the DISTRIBUTED
+    walk (the same `after` predicate applies verbatim per part bucket —
+    parts hold disjoint doc ids — so the driver merge of per-part pages IS
+    the global page). Stateless: no start-offset rescoring, page 10^6
+    costs the same one walk. Oracle: the full-ranking SQL BM25 with
+    OFFSET 10."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    q = " ".join(BM25_QUERY_TERMS)
+    page1 = reader.search_wand(q, 10)
+    assert page1, "page 1 empty — cursor test needs matches"
+    page2 = reader.search_wand_distributed(q, 10, after=page1[-1])
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in page2], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+TERMS_PREFIX = "s"
+
+
+def q_terms_component(spark, sf):
+    """Solr terms component (terms.prefix browse / autocomplete): the 4
+    highest-df dictionary terms starting with the prefix, (df desc, term
+    asc) — limit < |prefix matches| so the top-N truncation boundary is
+    exercised, not just the filter. One termstats metadata scan with the
+    prefix pushed down; only 4 rows leave the plan. Oracle: DuckDB df
+    recount from the raw corpus."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.terms(TERMS_PREFIX, limit=4)
+
+
+def q_facet_pivot(spark, sf):
+    """Solr pivot facets (facet.pivot=lang,source): for each lang in the
+    BM25 match set, the top-3 source values by count — the two-level
+    sidebar drill-down Collex renders. Cogrouped per-part partial pair
+    counts; the final agg sees ≤ parts × |lang×source| rows. Oracle:
+    DuckDB match set + two-level GROUP BY + QUALIFY per-parent top-N."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    return reader.facet_pivot(
+        " ".join(BM25_QUERY_TERMS), ["lang", "source"], top=3)
+
+
+RERANK_K = 30
+RERANK_WEIGHT = 0.001
+
+
+def q_bm25_rerank(spark, sf):
+    """Solr rerank + additive function-query boost (rq={!rerank
+    reRankDocs=30} with bf=n_chars): BM25 top-30 candidates from the
+    distributed walk, rescored score + 0.001·n_chars against the pruned
+    docstore (broadcast candidate join — the big side never shuffles),
+    top-10 under (score desc, doc_id asc). Oracle: the same two-stage
+    restatement — SQL BM25 top-30 window, then the boosted re-sort."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_reranked(
+        " ".join(BM25_QUERY_TERMS), 10, rerank_k=RERANK_K,
+        boost_field="n_chars", boost_weight=RERANK_WEIGHT)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))

@@ -1722,3 +1722,159 @@ def test_facet_range_and_field_stats(spark, tmp_path):
     assert (s["n"], s["min"], s["max"], s["sum"]) == (
         len(vals), min(vals), max(vals), sum(vals))
     assert s["mean"] == round(sum(vals) / len(vals), 6)
+
+
+# --- cursor paging / terms / pivot facets / rerank (r5 serving surfaces) ----
+
+
+def test_cursor_paging_partitions_ranking(spark, index_dir):
+    """searchAfter/cursorMark: consecutive pages concatenate to exactly the
+    single-shot top-3k ranking — disjoint, ordered, no drift — on BOTH the
+    driver and the distributed walk, and in and-mode."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+
+    def paged(fn, q, pages=3, k=10, **kw):
+        out, after = [], None
+        for _ in range(pages):
+            p = fn(q, k, after=after, **kw)
+            if not p:
+                break
+            out.extend(p)
+            after = p[-1]
+        return out
+
+    def rounded(hits):
+        return [(d, round(s, 9)) for d, s in hits]
+
+    for q in ["the", "alpha beta gamma", "needle the"]:
+        full = reader.search_wand(q, 30)
+        assert rounded(paged(reader.search_wand, q)) == rounded(full)
+        assert rounded(
+            paged(reader.search_wand_distributed, q)) == rounded(full)
+
+    # and-mode paging (hot Zipf-head terms so the conjunction is non-empty)
+    full = reader.search_wand("w0 w1", 20, mode="and")
+    assert len(full) == 20
+    p1 = reader.search_wand("w0 w1", 10, mode="and")
+    p2 = reader.search_wand("w0 w1", 10, mode="and", after=p1[-1])
+    assert rounded(p1 + p2) == rounded(full)
+
+    # paging past the end of the match set is empty, not an error
+    tail = reader.search_wand("needle", 10 ** 6)
+    assert reader.search_wand("needle", 10, after=tail[-1]) == []
+    assert reader.search_wand_distributed("needle", 10, after=tail[-1]) == []
+
+    # the search() front door threads the cursor through routing
+    cursor = reader.search_wand("the", 10)[-1]
+    page2 = reader.search("the", 10, after=cursor)
+    want = reader.search_wand("the", 20)[10:]
+    assert rounded([(r["doc_id"], r["score"]) for r in page2.collect()]) == \
+        rounded(want)
+
+
+def test_terms_component_semantics(spark, index_dir):
+    """terms(): dictionary enumeration matches a from-corpus df recount,
+    honors the prefix filter and the (df desc, term asc) top-N boundary."""
+    from collections import Counter
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    df = Counter()
+    for _, text in _synth_docs():
+        df.update(set(text.split()))
+
+    got = [(r["term"], r["df"]) for r in reader.terms("w1", limit=10).collect()]
+    want = sorted(((t, c) for t, c in df.items() if t.startswith("w1")),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want
+
+    got_all = [(r["term"], r["df"]) for r in reader.terms(limit=5).collect()]
+    want_all = sorted(df.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert got_all == want_all
+
+    assert reader.terms("zzzmissing", limit=5).count() == 0
+
+
+def test_facet_pivot_semantics(spark, facet_index_dir):
+    """facet_pivot: per-parent nested counts over the FULL match set match
+    a brute-force recount; honors mode / where / per-parent top cap."""
+    from collections import Counter
+
+    from rdf_indexer_spark.analyzer import tokenize
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    docs = _facet_docs()
+
+    def brute(q_terms, mode="or", where_even=False, top=5):
+        pairs = Counter()
+        for doc_id, text, lang, source in docs:
+            if where_even and doc_id % 2 != 0:
+                continue
+            toks = set(tokenize(text))
+            if q_terms is not None:
+                ok = (any(t in toks for t in q_terms) if mode == "or"
+                      else all(t in toks for t in q_terms))
+                if not ok:
+                    continue
+            pairs[(lang, source)] += 1
+        by_parent: dict = {}
+        for (p, v), n in pairs.items():
+            by_parent.setdefault(p, []).append((v, n))
+        out = {}
+        for p, vs in by_parent.items():
+            vs.sort(key=lambda x: (-x[1], x[0]))
+            for v, n in vs[:top]:
+                out[(p, v)] = n
+        return out
+
+    def got(df):
+        return {(r["parent_value"], r["facet_value"]): r["n"]
+                for r in df.collect()}
+
+    q = "zeta w1"
+    assert got(reader.facet_pivot(q, ["lang", "source"])) == brute(
+        q.split())
+    assert got(reader.facet_pivot(q, ["lang", "source"], mode="and")) == \
+        brute(q.split(), mode="and")
+    assert got(reader.facet_pivot("*:*", ["lang", "source"],
+                                  where="doc_id % 2 = 0")) == \
+        brute(None, where_even=True)
+    # per-parent cap: top=1 keeps exactly one child per parent
+    capped = got(reader.facet_pivot(q, ["lang", "source"], top=1))
+    full = brute(q.split(), top=1)
+    assert capped == full
+    parents = {p for p, _ in capped}
+    assert all(sum(1 for pp, _ in capped if pp == p) == 1 for p in parents)
+
+    with pytest.raises(ValueError):
+        reader.facet_pivot(q, ["lang"])
+    with pytest.raises(ValueError):
+        reader.facet_pivot(q, ["lang", "source"], mode="bad")
+
+
+def test_search_reranked_semantics(spark, index_dir):
+    """search_reranked: exact within the candidate window — equals a
+    brute-force rescore of the BM25 top-rerank_k with the additive
+    field boost; NULL/absent boost treated as 0."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    q = "alpha beta"
+    cands = reader.search_wand(q, 25)
+    store = spark.read.parquet(os.path.join(index_dir, "docstore"))
+    dls = {r["doc_id"]: r["dl"] for r in
+           store.select("doc_id", "dl").collect()}
+    want = sorted(((d, s + 0.01 * dls[d]) for d, s in cands),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = reader.search_reranked(q, 10, rerank_k=25, boost_field="dl",
+                                 boost_weight=0.01)
+    assert [(d, round(s, 9)) for d, s in got] == \
+        [(d, round(s, 9)) for d, s in want]
+
+    # no matches → empty
+    assert reader.search_reranked("zzznothing", 10, rerank_k=25,
+                                  boost_field="dl") == []
