@@ -193,6 +193,11 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "bm25_grouped": Q.q_bm25_grouped,
             "facet_range": Q.q_facet_range,
             "field_stats": Q.q_field_stats,
+            # deep paging / dictionary browse / pivots / rerank (r5)
+            "bm25_cursor_page2": Q.q_bm25_cursor_page2,
+            "terms_component": Q.q_terms_component,
+            "facet_pivot": Q.q_facet_pivot,
+            "bm25_rerank": Q.q_bm25_rerank,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

@@ -2397,7 +2397,7 @@ def _grouped_topk(
 def _or_topk(
     cursors: list, k: int,
     deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
-    min_match: int = 1,
+    min_match: int = 1, after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact disjunctive top-k WITHOUT block-max pruning: the walk for
     should-only clause mixes that include phrase cursors (which provide no
@@ -2412,6 +2412,7 @@ def _or_topk(
     if k <= 0 or min_match > len(cursors):
         return []
     heap: list[tuple[float, int]] = []
+    after_item = (after[1], -after[0]) if after is not None else None
 
     def offer(doc: int, score: float) -> None:
         if _in_sorted(deleted, doc):
@@ -2419,6 +2420,8 @@ def _or_topk(
         if allowed is not None and not _in_sorted(allowed, doc):
             return
         item = (score, -doc)
+        if after_item is not None and item >= after_item:
+            return  # at or before the page cursor: already served
         if len(heap) < k:
             heapq.heappush(heap, item)
         elif item > heap[0]:

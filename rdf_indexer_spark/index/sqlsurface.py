@@ -325,7 +325,9 @@ def _lucene_local(index_dir: str, query: str, k: int,
 def _search_local(index_dir: str, query: str, k: int,
                   mode: str = "or",
                   where: str | None = None,
-                  slop: int = 0, mm: int = 0) -> list[tuple[int, float]]:
+                  slop: int = 0, mm: int = 0,
+                  after: tuple[int, float] | None = None,
+                  ) -> list[tuple[int, float]]:
     """The full WAND walk against the on-disk index, no Spark involved.
 
     Reuses the exact cursor/walk implementation of the driver path
@@ -340,6 +342,9 @@ def _search_local(index_dir: str, query: str, k: int,
     from ..analyzer import tokenize
     from .bm25 import _Cursor, _and_topk, _phrase_topk, _wand_topk
 
+    if after is not None and mode not in ("or", "and"):
+        raise ValueError("cursor paging (after) supports mode='or'/'and' "
+                         "only")
     if mode == "lucene":
         return _lucene_local(index_dir, query, k, where, mm=mm)
     if mode not in ("or", "and", "phrase"):
@@ -407,14 +412,14 @@ def _search_local(index_dir: str, query: str, k: int,
     if mode == "and":
         # n_required = EVERY query term (same contract as search_wand)
         return _and_topk(cursors, k, len(terms), deleted=state["tombstones"],
-                         allowed=allowed)
+                         allowed=allowed, after=after)
     if mm > 1:
         from .bm25 import _or_topk
 
         return _or_topk(cursors, k, deleted=state["tombstones"],
-                        allowed=allowed, min_match=mm)
+                        allowed=allowed, min_match=mm, after=after)
     return _wand_topk(cursors, k, deleted=state["tombstones"],
-                      allowed=allowed)
+                      allowed=allowed, after=after)
 
 
 def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
@@ -431,7 +436,10 @@ def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
     index-side on the worker exactly like ``IndexReader.search(where=...)``;
     ``mm`` is Lucene's minimumNumberShouldMatch (Solr dismax ``mm``) for
     'or' and plain-clause 'lucene' queries, as in
-    ``IndexReader.search_boolean(min_should_match=...)``.
+    ``IndexReader.search_boolean(min_should_match=...)``; ``after_doc`` +
+    ``after_score`` are the previous page's last row (Solr cursorMark in
+    SQL — stateless deep paging, modes 'or'/'and', see
+    ``IndexReader.search(after=...)``).
 
     Returns the registered UDTF handle. The index path is bound at
     registration time (SQL callers pass only query/k/mode/where/mm)."""
@@ -439,10 +447,18 @@ def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
 
     class BM25Search:
         def eval(self, query: str, k: int, mode: str = "or",
-                 where: str = None, mm: int = 0):
+                 where: str = None, mm: int = 0,
+                 after_doc: int = None, after_score: float = None):
+            after = None
+            if after_doc is not None or after_score is not None:
+                if after_doc is None or after_score is None:
+                    raise ValueError(
+                        "cursor paging needs BOTH after_doc and "
+                        "after_score (the previous page's last row)")
+                after = (int(after_doc), float(after_score))
             for rank, (doc, score) in enumerate(
                 _search_local(index_dir, query, int(k), mode, where,
-                              mm=int(mm or 0))
+                              mm=int(mm or 0), after=after)
             ):
                 yield int(doc), float(score), rank + 1
 

@@ -1878,3 +1878,36 @@ def test_search_reranked_semantics(spark, index_dir):
     # no matches → empty
     assert reader.search_reranked("zzznothing", 10, rerank_k=25,
                                   boost_field="dl") == []
+
+
+def test_sql_surface_cursor_paging(spark, index_dir):
+    """bm25_search(..., after_doc, after_score): SQL pages concatenate to
+    the single-shot ranking in or- and and-mode; half a cursor or a
+    non-or/and mode errors loudly."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, index_dir, name="bm25_cpage")
+    reader = IndexReader(spark, index_dir)
+
+    def rounded(pairs):
+        return [(d, round(s, 9)) for d, s in pairs]
+
+    for mode, q in (("or", "the alpha"), ("and", "w0 w1")):
+        full = reader.search_wand(q, 20, mode=mode)
+        p1 = spark.sql(
+            f"SELECT * FROM bm25_cpage('{q}', 10, '{mode}')").collect()
+        last = p1[-1]
+        p2 = spark.sql(
+            f"SELECT * FROM bm25_cpage('{q}', 10, '{mode}', NULL, 0, "
+            f"{last['doc_id']}, {last['score']!r})").collect()
+        got = rounded([(r["doc_id"], r["score"]) for r in p1 + p2])
+        assert got == rounded(full)
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        spark.sql(
+            "SELECT * FROM bm25_cpage('the', 5, 'or', NULL, 0, 3, NULL)"
+        ).collect()
