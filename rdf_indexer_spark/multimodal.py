@@ -153,7 +153,8 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
             if payload.startswith(b"BM"):
                 return decode_bmp(payload).astype(np.float32) / 255.0
             if payload.startswith(b"\xff\xd8"):
-                from .jpeg import decode_jpeg  # pure numpy, r4
+                # pure numpy: baseline (r4) + progressive (r5)
+                from .jpeg import decode_jpeg
 
                 return decode_jpeg(payload).astype(np.float32) / 255.0
             if payload.startswith(b"\x89PNG"):
@@ -169,8 +170,8 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for codecs with no in-container decoder (progressive JPEG,
-    Adam7 PNG, MP3, video ...).
+    """STUB for codecs with no in-container decoder (arithmetic-coded
+    JPEG, Adam7 PNG, MP3, video ...).
 
     Real deployment swaps this for PIL.Image.open / soundfile.read — the
     surrounding Arrow batching, schema, and partitioning do not change.
