@@ -43,7 +43,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mm", type=int, default=0,
                     help="with --lucene (plain term clauses): Lucene "
                          "minimumNumberShouldMatch / Solr dismax mm")
+    ap.add_argument("--after", metavar="DOC:SCORE",
+                    help="cursor deep paging (Solr cursorMark / Lucene "
+                         "searchAfter): the previous page's last hit as "
+                         "doc_id:score; returns the next k results "
+                         "strictly after it")
     args = ap.parse_args(argv)
+    after = None
+    if args.after is not None:
+        try:
+            d, _, sc = args.after.partition(":")
+            after = (int(d), float(sc))
+        except ValueError:
+            ap.error("--after must be doc_id:score (the previous page's "
+                     "last hit)")
+        if args.lucene or args.phrase or args.exhaustive:
+            ap.error("--after pages the default walk only (not "
+                     "--lucene/--phrase/--exhaustive)")
+        if len(args.query) > 1:
+            ap.error("--after cannot be combined with multiple --query")
     if args.slop and not args.phrase:
         ap.error("--slop requires --phrase (in --lucene use '\"...\"~N')")
     if args.mm and not args.lucene:
@@ -120,7 +138,8 @@ def main(argv: list[str] | None = None) -> int:
         # small-index fast path (bm25.IndexReader.search)
         hits = [(r["doc_id"], r["score"])
                 for r in reader.search(query, args.k,
-                                       distributed=args.distributed).collect()]
+                                       distributed=args.distributed,
+                                       after=after).collect()]
     print(json.dumps({
         "query": query,
         "k": args.k,

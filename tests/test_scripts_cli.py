@@ -172,3 +172,38 @@ def test_run_query_slop_and_flag_guards(spark, tmp_path, capsys):
             _main()(argv)
         assert e.value.code == 2
         assert flag in capsys.readouterr().err
+
+
+def test_run_query_after_cursor(spark, tmp_path, capsys):
+    """--after doc:score pages the default walk; malformed/ineligible
+    combinations are argparse errors."""
+    import json
+
+    from rdf_indexer_spark.index.build import build_index
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    idx = str(tmp_path / "cliafter")
+    docs = spark.createDataFrame(
+        [(i, "alpha " + ("beta " if i % 2 else "") + f"w{i % 5}")
+         for i in range(60)], ["doc_id", "text"])
+    build_index(spark, docs, idx, num_buckets=2, resume=False)
+    reader = IndexReader(spark, idx)
+    page1 = reader.search_wand("alpha beta", 5)
+    d0, s0 = page1[-1]
+    rc = _main()(["--index-dir", idx, "--query", "alpha beta",
+                  "--k", "5", "--after", f"{d0}:{s0!r}"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = reader.search_wand("alpha beta", 10)[5:]
+    assert out["hits"] == [[d, s] for d, s in want]
+    for argv in [
+        ["--index-dir", idx, "--query", "a", "--after", "notacursor"],
+        ["--index-dir", idx, "--query", "a", "--after", "3:0.5",
+         "--exhaustive"],
+        ["--index-dir", idx, "--query", "a", "--query", "b",
+         "--after", "3:0.5"],
+    ]:
+        with pytest.raises(SystemExit) as e:
+            _main()(argv)
+        assert e.value.code == 2
+        assert "--after" in capsys.readouterr().err
