@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_component": Q.q_terms_component,
         "facet_pivot": Q.q_facet_pivot,
         "bm25_rerank": Q.q_bm25_rerank,
+        "bm25_collated": Q.q_bm25_collated,
     }
 
 
@@ -729,6 +730,53 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY df DESC, term ASC LIMIT 4
         )
     """
+    # spellcheck.collate: each typo's top suggestion (dist asc, df desc,
+    # term asc) feeds a from-scratch BM25 over the corrected terms; the
+    # collated string itself is a checked output column
+    bm25_collated_sql = f"""
+        WITH tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        df_all AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS dfv
+          FROM tokd GROUP BY term
+        ),
+        sug1 AS (
+          SELECT term FROM df_all
+          WHERE term != 'sot' AND levenshtein(term, 'sot') <= 2
+          ORDER BY levenshtein(term, 'sot') ASC, dfv DESC, term ASC LIMIT 1
+        ),
+        sug2 AS (
+          SELECT term FROM df_all
+          WHERE term != 'windw' AND levenshtein(term, 'windw') <= 2
+          ORDER BY levenshtein(term, 'windw') ASC, dfv DESC, term ASC LIMIT 1
+        ),
+        q(term) AS (SELECT term FROM sug1 UNION SELECT term FROM sug2),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        df AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT (SELECT term FROM sug1) || ' ' || (SELECT term FROM sug2)
+                 AS collated_query,
+               doc_id, round(score, 4) AS score
+        FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
     # pivot facets: match set + two-level GROUP BY + per-parent top-3
     facet_pivot_sql = f"""
         WITH q(term) AS (VALUES {bm25_terms}),
@@ -946,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_component": terms_component_sql,
         "facet_pivot": facet_pivot_sql,
         "bm25_rerank": bm25_rerank_sql,
+        "bm25_collated": bm25_collated_sql,
         # spellcheck: dictionary df recomputed from the corpus, identical
         # (distance asc, df desc, term asc) ranking and the same
         # input-term exclusion as IndexReader.suggest

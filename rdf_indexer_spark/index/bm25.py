@@ -948,6 +948,36 @@ class IndexReader:
             .limit(top)
         )
 
+    def search_collated(
+        self, query: str, k: int = 10, *, max_dist: int = 2,
+        mode: str = "or", where: str | None = None,
+    ) -> tuple[str, list[tuple[int, float]]]:
+        """Solr ``spellcheck.collate``: rewrite each query term that is
+        ABSENT from the index with its top spell suggestion (the
+        :meth:`suggest` ranking — distance asc, df desc, term asc), then
+        serve the corrected query. Returns ``(collated_query, hits)``;
+        terms with no candidate within ``max_dist`` stay as typed (they
+        simply match nothing, like Solr serving the raw collation).
+
+        Scale shape: ONE termstats scan answers df-presence for all query
+        terms; each unknown term costs one more metadata-scan top-1 (query
+        strings have O(1) typos). The corrected query runs the normal
+        distributed walk."""
+        toks = tokenize(query)
+        uniq = sorted(set(toks))
+        dfs = self.term_dfs(uniq)
+        repl: dict[str, str] = {}
+        for t in uniq:
+            if dfs.get(t, 0) > 0:
+                continue
+            cand = self.suggest(t, max_dist=max_dist, top=1).collect()
+            if cand:
+                repl[t] = cand[0]["term"]
+        collated = " ".join(repl.get(t, t) for t in toks)
+        hits = self.search_wand_distributed(collated, k, mode=mode,
+                                            where=where)
+        return collated, hits
+
     MAX_WILDCARD_EXPANSIONS = 128
     MAX_FUZZY_EXPANSIONS = 50  # Lucene FuzzyQuery's maxExpansions default
 

@@ -1056,3 +1056,23 @@ def q_bm25_rerank(spark, sf):
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+COLLATE_QUERY = "sot windw"  # one edit each from corpus terms
+
+
+def q_bm25_collated(spark, sf):
+    """Solr spellcheck.collate end-to-end: unknown query terms are
+    rewritten to their top suggestion ((dist asc, df desc, term asc) over
+    the term dictionary) and the corrected query is served. The collated
+    string rides along as a column so the ORACLE checks the rewrite AND
+    the ranking. Oracle: per-typo levenshtein top-1 CTEs + the
+    from-scratch SQL BM25 over the corrected terms."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    collated, hits = reader.search_collated(COLLATE_QUERY, 10)
+    return spark.createDataFrame(
+        [(collated, int(d), float(s)) for d, s in hits],
+        "collated_query string, doc_id long, score double",
+    ).select("collated_query", "doc_id", F.round("score", 4).alias("score"))

@@ -1911,3 +1911,23 @@ def test_sql_surface_cursor_paging(spark, index_dir):
         spark.sql(
             "SELECT * FROM bm25_cpage('the', 5, 'or', NULL, 0, 3, NULL)"
         ).collect()
+
+
+def test_search_collated(spark, index_dir):
+    """spellcheck.collate: unknown terms are rewritten to the top
+    suggestion, known terms stay, hopeless terms stay as typed, and the
+    served ranking equals searching the collated string directly."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    # 'neddle' is one edit from the planted 'needle'; 'alpha' is known
+    collated, hits = reader.search_collated("neddle alpha", 10)
+    assert collated == "needle alpha"
+    want = reader.search_wand("needle alpha", 10)
+    assert [(d, round(s, 9)) for d, s in hits] == \
+        [(d, round(s, 9)) for d, s in want]
+    # a term with no candidate within max_dist stays as typed
+    collated2, hits2 = reader.search_collated("qqqqqqqqqq alpha", 10)
+    assert collated2 == "qqqqqqqqqq alpha"
+    assert [(d, round(s, 9)) for d, s in hits2] == \
+        [(d, round(s, 9)) for d, s in reader.search_wand("alpha", 10)]
