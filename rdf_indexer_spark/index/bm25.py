@@ -752,6 +752,77 @@ class IndexReader:
             .filter(F.col("rank") <= k)
         )
 
+    def _check_facet_fields(self, fields: list[str]) -> None:
+        """Fail fast on the driver for field lists the pandas kernels
+        cannot express (duplicates collapse a groupby; part/doc_id collide
+        with the kernel's own columns)."""
+        if len(set(fields)) != len(fields):
+            raise ValueError(f"duplicate facet fields: {fields}")
+        bad = set(fields) & {"part", "doc_id"}
+        if bad:
+            raise ValueError(
+                f"facet fields collide with index columns: {sorted(bad)}")
+
+    def _matchset_partials(self, query: str, mode: str, where: str | None,
+                           fields: list[str], partial, out_schema: str):
+        """The shared match-set ∩ metadata plan under facet_counts AND
+        facet_pivot: pruned docstore scan (fq predicate + requested fields
+        cast to string), ids-only block decode cogrouped per part, numpy
+        membership mask handed to ``partial(doc_pdf, matched)`` which
+        emits that part's PARTIAL count rows. Returns the partial-counts
+        DataFrame, or None when the query provably matches nothing (a
+        term absent from the index in and-mode / no query term indexed) —
+        callers return their empty shape."""
+        terms = sorted(set(tokenize(query))) if query not in ("", "*:*") \
+            else []
+        docmeta = self.spark.read.parquet(self.paths.docstore)
+        if where is not None:
+            docmeta = docmeta.filter(where)
+        docmeta = docmeta.select(
+            "part", "doc_id", *[F.col(c).cast("string").alias(c)
+                                for c in fields])
+        if not terms:
+            # match-all browse: one pruned docstore pass, partial counts
+            # per partition, tiny final agg
+            return docmeta.groupBy("part").applyInPandas(
+                lambda pdf: partial(pdf, None), schema=out_schema)
+        stats = self.term_stats(terms)
+        if (not stats) or (mode == "and" and len(stats) < len(terms)):
+            return None
+        n_req = len(terms)
+        blocks = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(sorted(stats)))
+            .select("part", "term", "ids_bin")
+        )
+
+        def _kernel(bl_pdf, doc_pdf):
+            per_term: dict[str, list] = {}
+            for rec in bl_pdf.to_dict("records"):
+                ids = delta_decode(varbyte_decode(bytes(rec["ids_bin"])))
+                per_term.setdefault(rec["term"], []).append(ids)
+            if mode == "and" and len(per_term) < n_req:
+                return partial(doc_pdf.iloc[0:0], None)
+            sets = [np.unique(np.concatenate(v))
+                    for v in per_term.values()]
+            if not sets:
+                return partial(doc_pdf.iloc[0:0], None)
+            matched = sets[0]
+            if mode == "and":
+                for st in sets[1:]:
+                    matched = np.intersect1d(matched, st,
+                                             assume_unique=True)
+            else:
+                matched = np.unique(np.concatenate(sets)) \
+                    if len(sets) > 1 else sets[0]
+            return partial(doc_pdf, matched)
+
+        return (
+            blocks.groupBy("part")
+            .cogroup(docmeta.groupBy("part"))
+            .applyInPandas(_kernel, schema=out_schema)
+        )
+
     def facet_counts(
         self, query: str, fields: list[str], *, mode: str = "or",
         where: str | None = None, top: int = 10,
@@ -783,16 +854,9 @@ class IndexReader:
             raise ValueError(f"unknown mode: {mode!r}")
         if not fields:
             raise ValueError("facet_counts needs at least one field")
-        terms = sorted(set(tokenize(query))) if query not in ("", "*:*") \
-            else []
+        self._check_facet_fields(fields)
         tomb_bc = self._tomb_bc
         out_schema = "facet_field string, facet_value string, cnt long"
-        docmeta = self.spark.read.parquet(self.paths.docstore)
-        if where is not None:
-            docmeta = docmeta.filter(where)
-        docmeta = docmeta.select(
-            "part", "doc_id", *[F.col(c).cast("string").alias(c)
-                                for c in fields])
 
         def _partial_counts(doc_pdf, matched: np.ndarray | None):
             """Per-part partial (field, value, count) rows. ``matched`` is
@@ -820,50 +884,11 @@ class IndexReader:
                               "facet_value": pd.Series(dtype="object"),
                               "cnt": pd.Series(dtype="int64")})
 
-        if not terms:
-            # match-all browse: one pruned docstore pass, partial counts
-            # per partition, tiny final agg
-            partial = docmeta.groupBy("part").applyInPandas(
-                lambda pdf: _partial_counts(pdf, None), schema=out_schema)
-        else:
-            stats = self.term_stats(terms)
-            if (not stats) or (mode == "and" and len(stats) < len(terms)):
-                return self.spark.createDataFrame([], out_schema).select(
-                    "facet_field", "facet_value", F.col("cnt").alias("n"))
-            live = sorted(stats)
-            n_req = len(terms)
-            blocks = (
-                self.spark.read.parquet(self.paths.blocks)
-                .filter(F.col("term").isin(live))
-                .select("part", "term", "ids_bin")
-            )
-
-            def _facets(bl_pdf, doc_pdf):
-                per_term: dict[str, list] = {}
-                for rec in bl_pdf.to_dict("records"):
-                    ids = delta_decode(varbyte_decode(bytes(rec["ids_bin"])))
-                    per_term.setdefault(rec["term"], []).append(ids)
-                if mode == "and" and len(per_term) < n_req:
-                    return _partial_counts(doc_pdf.iloc[0:0], None)
-                sets = [np.unique(np.concatenate(v))
-                        for v in per_term.values()]
-                if not sets:
-                    return _partial_counts(doc_pdf.iloc[0:0], None)
-                matched = sets[0]
-                if mode == "and":
-                    for s in sets[1:]:
-                        matched = np.intersect1d(matched, s,
-                                                 assume_unique=True)
-                else:
-                    matched = np.unique(np.concatenate(sets)) \
-                        if len(sets) > 1 else sets[0]
-                return _partial_counts(doc_pdf, matched)
-
-            partial = (
-                blocks.groupBy("part")
-                .cogroup(docmeta.groupBy("part"))
-                .applyInPandas(_facets, schema=out_schema)
-            )
+        partial = self._matchset_partials(query, mode, where, fields,
+                                          _partial_counts, out_schema)
+        if partial is None:
+            return self.spark.createDataFrame([], out_schema).select(
+                "facet_field", "facet_value", F.col("cnt").alias("n"))
         from pyspark.sql import Window
 
         w = Window.partitionBy("facet_field").orderBy(
@@ -960,19 +985,40 @@ class IndexReader:
         simply match nothing, like Solr serving the raw collation).
 
         Scale shape: ONE termstats scan answers df-presence for all query
-        terms; each unknown term costs one more metadata-scan top-1 (query
-        strings have O(1) typos). The corrected query runs the normal
+        terms, and ONE more resolves every unknown term's top suggestion
+        at once (the tiny unknown-term list is broadcast against the
+        dictionary scan, length-band + distance filtered, window top-1
+        per input) — the job count stays 2 + the search regardless of how
+        many typos the query carries. The corrected query runs the normal
         distributed walk."""
+        from pyspark.sql import Window
+
         toks = tokenize(query)
         uniq = sorted(set(toks))
         dfs = self.term_dfs(uniq)
+        unknown = [t for t in uniq if dfs.get(t, 0) == 0]
         repl: dict[str, str] = {}
-        for t in uniq:
-            if dfs.get(t, 0) > 0:
-                continue
-            cand = self.suggest(t, max_dist=max_dist, top=1).collect()
-            if cand:
-                repl[t] = cand[0]["term"]
+        if unknown:
+            cand = self.spark.createDataFrame(
+                [(t,) for t in unknown], "input string")
+            ts = self.spark.read.parquet(self.paths.termstats).select(
+                "term", "df")
+            w = Window.partitionBy("input").orderBy(
+                F.asc("dist"), F.desc("df"), F.asc("term"))
+            best = (
+                ts.crossJoin(F.broadcast(cand))
+                .filter(
+                    (F.abs(F.length("term") - F.length("input")) <= max_dist)
+                    & (F.col("term") != F.col("input"))
+                    & (F.col("df") >= 1)
+                )
+                .withColumn("dist", F.levenshtein("term", "input"))
+                .filter(F.col("dist") <= max_dist)
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("input", "term")
+            )
+            repl = {r["input"]: r["term"] for r in best.collect()}
         collated = " ".join(repl.get(t, t) for t in toks)
         hits = self.search_wand_distributed(collated, k, mode=mode,
                                             where=where)
@@ -1699,18 +1745,10 @@ class IndexReader:
             raise ValueError(f"unknown mode: {mode!r}")
         if len(fields) != 2:
             raise ValueError("facet_pivot takes exactly two fields")
+        self._check_facet_fields(fields)
         f1, f2 = fields
-        terms = sorted(set(tokenize(query))) if query not in ("", "*:*") \
-            else []
         tomb_bc = self._tomb_bc
         out_schema = "parent_value string, facet_value string, cnt long"
-        docmeta = self.spark.read.parquet(self.paths.docstore)
-        if where is not None:
-            docmeta = docmeta.filter(where)
-        docmeta = docmeta.select(
-            "part", "doc_id",
-            F.col(f1).cast("string").alias(f1),
-            F.col(f2).cast("string").alias(f2))
 
         def _pair_counts(doc_pdf, matched: np.ndarray | None):
             import pandas as pd
@@ -1734,47 +1772,11 @@ class IndexReader:
                 "facet_value": g[f2].astype("object"),
                 "cnt": g["cnt"].astype("int64")})
 
-        if not terms:
-            partial = docmeta.groupBy("part").applyInPandas(
-                lambda pdf: _pair_counts(pdf, None), schema=out_schema)
-        else:
-            stats = self.term_stats(terms)
-            if (not stats) or (mode == "and" and len(stats) < len(terms)):
-                return self.spark.createDataFrame([], out_schema).select(
-                    "parent_value", "facet_value", F.col("cnt").alias("n"))
-            n_req = len(terms)
-            blocks = (
-                self.spark.read.parquet(self.paths.blocks)
-                .filter(F.col("term").isin(sorted(stats)))
-                .select("part", "term", "ids_bin")
-            )
-
-            def _pivots(bl_pdf, doc_pdf):
-                per_term: dict[str, list] = {}
-                for rec in bl_pdf.to_dict("records"):
-                    ids = delta_decode(varbyte_decode(bytes(rec["ids_bin"])))
-                    per_term.setdefault(rec["term"], []).append(ids)
-                if mode == "and" and len(per_term) < n_req:
-                    return _pair_counts(doc_pdf.iloc[0:0], None)
-                sets = [np.unique(np.concatenate(v))
-                        for v in per_term.values()]
-                if not sets:
-                    return _pair_counts(doc_pdf.iloc[0:0], None)
-                matched = sets[0]
-                if mode == "and":
-                    for s in sets[1:]:
-                        matched = np.intersect1d(matched, s,
-                                                 assume_unique=True)
-                else:
-                    matched = np.unique(np.concatenate(sets)) \
-                        if len(sets) > 1 else sets[0]
-                return _pair_counts(doc_pdf, matched)
-
-            partial = (
-                blocks.groupBy("part")
-                .cogroup(docmeta.groupBy("part"))
-                .applyInPandas(_pivots, schema=out_schema)
-            )
+        partial = self._matchset_partials(query, mode, where, fields,
+                                          _pair_counts, out_schema)
+        if partial is None:
+            return self.spark.createDataFrame([], out_schema).select(
+                "parent_value", "facet_value", F.col("cnt").alias("n"))
         from pyspark.sql import Window
 
         w = Window.partitionBy("parent_value").orderBy(

@@ -413,9 +413,13 @@ def _decode_progressive_scan(data, pos, body, frame, planes,
                       restart_interval)
     else:
         ci, _td, ta = scan_comps[0]
-        if ah == 0 and ta not in huff_ac:
+        # AC refinement scans Huffman-code their run/EOB symbols too —
+        # the table is required for BOTH passes (only DC refinement is
+        # table-free), and the error must be ValueError so decode_media's
+        # malformed-input fallback contract holds
+        if ta not in huff_ac:
             raise ValueError("undeclared Huffman table slot")
-        _prog_ac_scan(br, planes[ci], huff_ac.get(ta), ss, se, ah, al,
+        _prog_ac_scan(br, planes[ci], huff_ac[ta], ss, se, ah, al,
                       _comp_blocks(frame, ci), restart_interval)
     return _next_marker(data, br.pos)
 

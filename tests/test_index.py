@@ -1931,3 +1931,20 @@ def test_search_collated(spark, index_dir):
     assert collated2 == "qqqqqqqqqq alpha"
     assert [(d, round(s, 9)) for d, s in hits2] == \
         [(d, round(s, 9)) for d, s in reader.search_wand("alpha", 10)]
+
+
+def test_facet_fields_validated_on_driver(spark, facet_index_dir):
+    """Duplicate facet fields or fields colliding with the kernel's own
+    columns (part/doc_id) fail fast with ValueError on the driver, not an
+    opaque executor pandas error."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    with pytest.raises(ValueError, match="duplicate"):
+        reader.facet_pivot("alpha", ["lang", "lang"])
+    with pytest.raises(ValueError, match="collide"):
+        reader.facet_pivot("alpha", ["doc_id", "lang"])
+    with pytest.raises(ValueError, match="duplicate"):
+        reader.facet_counts("alpha", ["lang", "lang"])
+    with pytest.raises(ValueError, match="collide"):
+        reader.facet_counts("alpha", ["part"])

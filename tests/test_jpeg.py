@@ -675,3 +675,27 @@ def test_progressive_restart_markers():
     plain = decode_jpeg(encode_jpeg_progressive(img))
     rst = decode_jpeg(encode_jpeg_progressive(img, restart_interval=3))
     np.testing.assert_array_equal(plain, rst)
+
+
+def test_progressive_undeclared_ac_table_raises_valueerror():
+    """An AC refinement scan referencing an undeclared DHT slot must raise
+    ValueError (the decode_media fallback contract), not AttributeError."""
+    img = _test_image(16, 16)
+    data = bytearray(encode_jpeg_progressive(img))
+    # point every single-component (AC) scan at Huffman slot 3
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        ns = data[i + 4]
+        if ns == 1:
+            data[i + 6] = 0x03  # td=0, ta=3 (never declared)
+        i += 2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+    from rdf_indexer_spark.multimodal import _decode_stub, decode_media
+
+    bad = bytes(data)
+    np.testing.assert_array_equal(
+        decode_media(bad, "image"), _decode_stub(bad, "image"))
