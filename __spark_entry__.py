@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot": Q.q_facet_pivot,
         "bm25_rerank": Q.q_bm25_rerank,
         "bm25_collated": Q.q_bm25_collated,
+        "facet_queries": Q.q_facet_queries,
     }
 
 
@@ -777,6 +778,21 @@ def oracle_sql() -> dict[str, str]:
                doc_id, round(score, 4) AS score
         FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
     """
+    # facet.query: per-subquery match-set counts (incl. the explicit 0)
+    facet_queries_sql = f"""
+        WITH tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents)
+        SELECT 'any_window_join' AS facet_query,
+               count(DISTINCT doc_id)::BIGINT AS n
+        FROM tokd WHERE term IN ('window', 'join')
+        UNION ALL
+        SELECT 'missing', count(DISTINCT doc_id)::BIGINT
+        FROM tokd WHERE term = 'zzznotaword'
+        UNION ALL
+        SELECT 'both_sort_hash', count(*)::BIGINT FROM (
+          SELECT doc_id FROM tokd WHERE term IN ('sort', 'hash')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2
+        )
+    """
     # pivot facets: match set + two-level GROUP BY + per-parent top-3
     facet_pivot_sql = f"""
         WITH q(term) AS (VALUES {bm25_terms}),
@@ -995,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_pivot": facet_pivot_sql,
         "bm25_rerank": bm25_rerank_sql,
         "bm25_collated": bm25_collated_sql,
+        "facet_queries": facet_queries_sql,
         # spellcheck: dictionary df recomputed from the corpus, identical
         # (distance asc, df desc, term asc) ranking and the same
         # input-term exclusion as IndexReader.suggest

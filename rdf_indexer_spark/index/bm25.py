@@ -1649,6 +1649,40 @@ class IndexReader:
             matched = matched.join(tomb, "doc_id", "left_anti")
         return matched
 
+    def facet_queries(
+        self, queries: dict[str, str], *, mode: str = "or",
+        where: str | None = None,
+    ) -> DataFrame:
+        """Solr ``facet.query``: a document count for EACH named subquery
+        over the index — the arbitrary-bucket companion of facet.field
+        (Collex sidebars mix field facets with canned query facets).
+
+        One Spark job for the whole set: each subquery's declarative
+        match set (:meth:`matched_docs` — term-pruned decode, fq
+        semi-join, tombstone anti-join) is tagged and unioned, a single
+        partial-aggregated count per tag comes back, and a generated name
+        spine left-join restores Solr's explicit zero counts for
+        subqueries matching nothing. Returns (facet_query, n)."""
+        if not queries:
+            raise ValueError("facet_queries needs at least one subquery")
+        tagged = [
+            self.matched_docs(q, mode=mode, where=where)
+            .select(F.lit(name).alias("facet_query"), "doc_id")
+            for name, q in sorted(queries.items())
+        ]
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionByName(t)
+        spine = self.spark.createDataFrame(
+            [(n,) for n in sorted(queries)], "facet_query string")
+        counts = union.groupBy("facet_query").agg(
+            F.count("*").cast("long").alias("n"))
+        return (
+            spine.join(counts, "facet_query", "left")
+            .select("facet_query",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        )
+
     def facet_range(
         self, query: str, field: str, start: float, end: float, gap: float,
         *, mode: str = "or", where: str | None = None,

@@ -1076,3 +1076,17 @@ def q_bm25_collated(spark, sf):
         [(collated, int(d), float(s)) for d, s in hits],
         "collated_query string, doc_id long, score double",
     ).select("collated_query", "doc_id", F.round("score", 4).alias("score"))
+
+
+def q_facet_queries(spark, sf):
+    """Solr facet.query: counts for a mixed set of named subqueries in ONE
+    job — an OR facet, an AND facet (both terms required) and a zero-match
+    facet whose explicit 0 row checks the name spine. Oracle: per-subquery
+    match-set counts UNION ALL."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    both = reader.facet_queries(
+        {"any_window_join": "window join", "missing": "zzznotaword"})
+    conj = reader.facet_queries({"both_sort_hash": "sort hash"}, mode="and")
+    return both.unionByName(conj)

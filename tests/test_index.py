@@ -1948,3 +1948,39 @@ def test_facet_fields_validated_on_driver(spark, facet_index_dir):
         reader.facet_counts("alpha", ["lang", "lang"])
     with pytest.raises(ValueError, match="collide"):
         reader.facet_counts("alpha", ["part"])
+
+
+def test_facet_queries_semantics(spark, facet_index_dir):
+    """facet.query: per-subquery match-set counts vs brute force; zero
+    counts are explicit rows; fq and tombstones apply."""
+    from rdf_indexer_spark.analyzer import tokenize
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, facet_index_dir)
+    docs = _facet_docs()
+
+    def brute(q, mode="or", where_even=False):
+        n = 0
+        for doc_id, text, _lang, _src in docs:
+            if where_even and doc_id % 2 != 0:
+                continue
+            toks = set(tokenize(text))
+            qt = q.split()
+            ok = (any(t in toks for t in qt) if mode == "or"
+                  else all(t in toks for t in qt))
+            n += bool(ok)
+        return n
+
+    got = {r["facet_query"]: r["n"] for r in reader.facet_queries(
+        {"zeta": "zeta", "w1_or_w2": "w1 w2", "nope": "zzznotaword"}
+    ).collect()}
+    assert got == {"zeta": brute("zeta"), "w1_or_w2": brute("w1 w2"),
+                   "nope": 0}
+    got_and = {r["facet_query"]: r["n"] for r in reader.facet_queries(
+        {"alpha_and_zeta": "alpha zeta"}, mode="and").collect()}
+    assert got_and == {"alpha_and_zeta": brute("alpha zeta", mode="and")}
+    got_fq = {r["facet_query"]: r["n"] for r in reader.facet_queries(
+        {"zeta": "zeta"}, where="doc_id % 2 = 0").collect()}
+    assert got_fq == {"zeta": brute("zeta", where_even=True)}
+    with pytest.raises(ValueError):
+        reader.facet_queries({})
