@@ -198,6 +198,8 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "terms_component": Q.q_terms_component,
             "facet_pivot": Q.q_facet_pivot,
             "bm25_rerank": Q.q_bm25_rerank,
+            "bm25_collated": Q.q_bm25_collated,
+            "facet_queries": Q.q_facet_queries,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())
