@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rdf_indexer_spark import queries as Q
 
+
     return {
         # relational surface (reference Q-2..Q-8, J-*, G-*, D-5)
         "archive_filter": Q.q_archive_filter,
@@ -116,6 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rerank": Q.q_bm25_rerank,
         "bm25_collated": Q.q_bm25_collated,
         "facet_queries": Q.q_facet_queries,
+        # training-pipeline curation operators (r5)
+        "decontaminate": Q.q_decontaminate,
+        "pii_scan": Q.q_pii_scan,
+        "repetition": Q.q_repetition,
     }
 
 
@@ -808,6 +813,106 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
           PARTITION BY parent_value ORDER BY n DESC, facet_value ASC) <= 3
     """
+    # decontamination: both sides reduce to DISTINCT md5-60 8-gram hashes
+    # (matching textops._ngram_hashes) before the join
+    decontaminate_sql = f"""
+        WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, {_hexint('gram')} AS g FROM (
+            SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            WHERE len(toks) >= 8
+          )
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        shared AS (
+          SELECT doc_id, count(*)::BIGINT AS n
+          FROM grams JOIN bench USING (g) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n, 0)::BIGINT AS shared_ngrams,
+               coalesce(n, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN shared USING (doc_id)
+    """
+    # PII: identical planting rule, identical RE2 patterns (group 0), md5
+    # of the redacted text checked whole
+    pii_text2 = (
+        "text || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id || '@example.com' "
+        " ELSE '' END) || "
+        "(CASE WHEN doc_id % 7 = 0 THEN ' call +1 415-555-0100' "
+        " ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || (doc_id % 256) "
+        " || '.25' ELSE '' END)"
+    )
+    pii_email = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    pii_phone = r"\+?\(?[0-9][0-9()\- ]{7,}[0-9]"
+    pii_ipv4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+    pii_sql = f"""
+        WITH d2 AS (SELECT doc_id, {pii_text2} AS t2 FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t2, '{pii_email}'))::BIGINT AS n_email,
+               len(regexp_extract_all(t2, '{pii_phone}'))::BIGINT AS n_phone,
+               len(regexp_extract_all(t2, '{pii_ipv4}'))::BIGINT AS n_ipv4,
+               md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                     '{pii_email}', '<EMAIL>', 'g'),
+                     '{pii_phone}', '<PHONE>', 'g'),
+                     '{pii_ipv4}', '<IPV4>', 'g')) AS redacted_md5
+        FROM d2
+    """
+    # repetition: exploded line/2-gram recounts over the same planted
+    # two-line corpus (every 4th doc duplicates its text as line 2)
+    tok2 = "regexp_extract_all(lower(t2), '" + TOKEN_RE2 + "')"
+    repetition_sql = f"""
+        WITH d2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || text
+                      ELSE text || chr(10) || 'tail' || doc_id END AS t2
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, trim(line) AS line
+          FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line
+                FROM d2)
+          WHERE length(trim(line)) > 0
+        ),
+        lc AS (
+          SELECT doc_id, line, count(*)::DOUBLE AS c,
+                 length(line)::DOUBLE AS ln
+          FROM lines GROUP BY doc_id, line
+        ),
+        la AS (
+          SELECT doc_id, sum(c) AS n_lines, count(*)::DOUBLE AS n_distinct,
+                 sum(ln * c) AS line_chars,
+                 sum(CASE WHEN c > 1 THEN ln * c ELSE 0 END) AS dup_chars
+          FROM lc GROUP BY doc_id
+        ),
+        g2 AS (
+          SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+          FROM (SELECT doc_id, {tok2} AS toks FROM d2),
+               unnest(range(1, len(toks))) AS u(i)
+          WHERE len(toks) >= 2
+        ),
+        ga AS (
+          SELECT doc_id, count(*)::DOUBLE AS n_g,
+                 count(DISTINCT g)::DOUBLE AS n_dg
+          FROM g2 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_lines, 0)::BIGINT AS n_lines,
+               round(CASE WHEN coalesce(n_lines, 0) > 0
+                          THEN 1 - n_distinct / n_lines ELSE 0 END, 6)
+                 AS dup_line_frac,
+               round(CASE WHEN coalesce(line_chars, 0) > 0
+                          THEN dup_chars / line_chars ELSE 0 END, 6)
+                 AS dup_line_char_frac,
+               round(CASE WHEN coalesce(n_g, 0) > 0
+                          THEN 1 - n_dg / n_g ELSE 0 END, 6)
+                 AS dup_2gram_frac
+        FROM documents d
+        LEFT JOIN la USING (doc_id)
+        LEFT JOIN ga USING (doc_id)
+    """
     return {
         "archive_filter": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
@@ -1012,6 +1117,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rerank": bm25_rerank_sql,
         "bm25_collated": bm25_collated_sql,
         "facet_queries": facet_queries_sql,
+        "decontaminate": decontaminate_sql,
+        "pii_scan": pii_sql,
+        "repetition": repetition_sql,
         # spellcheck: dictionary df recomputed from the corpus, identical
         # (distance asc, df desc, term asc) ranking and the same
         # input-term exclusion as IndexReader.suggest

@@ -200,6 +200,10 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "bm25_rerank": Q.q_bm25_rerank,
             "bm25_collated": Q.q_bm25_collated,
             "facet_queries": Q.q_facet_queries,
+            # curation operators (r5): decontamination / PII / repetition
+            "decontaminate": Q.q_decontaminate,
+            "pii_scan": Q.q_pii_scan,
+            "repetition": Q.q_repetition,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

@@ -1090,3 +1090,66 @@ def q_facet_queries(spark, sf):
         {"any_window_join": "window join", "missing": "zzznotaword"})
     conj = reader.facet_queries({"both_sort_hash": "sort hash"}, mode="and")
     return both.unionByName(conj)
+
+
+def _pii_text2(doc_id, text):
+    """Deterministic PII planting for the pii entry: the synthetic corpus
+    carries no real PII, so emails/phones/IPs are appended by doc_id rule
+    IDENTICALLY in the Spark plan and the DuckDB oracle."""
+    return F.concat(
+        text,
+        F.when(doc_id % 3 == 0,
+               F.concat(F.lit(" user"), doc_id.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(doc_id % 7 == 0,
+               F.lit(" call +1 415-555-0100")).otherwise(F.lit("")),
+        F.when(doc_id % 11 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (doc_id % 256).cast("string"),
+                        F.lit(".25"))).otherwise(F.lit("")),
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Training-set decontamination (GPT-3/Pile n-gram overlap): every doc
+    is checked against a benchmark slice (doc_id % 50 = 0) for shared
+    distinct 8-gram hashes; clean docs carry explicit 0/false. Both sides
+    reduce to hashed gram sets before joining (benchmark broadcast).
+    Oracle: the same md5-60 gram hashing + distinct-gram join in SQL."""
+    from .textops import decontaminate
+
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
+def q_pii_scan(spark, sf):
+    """PII detection + redaction over deterministically planted
+    identifiers: per-class match counts and the md5 of the redacted text
+    (whole-text equality via hash keeps rows small). Pure Column regex;
+    the patterns are RE2-compatible so the oracle runs them verbatim."""
+    from .textops import pii_scan
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", _pii_text2(F.col("doc_id"), F.col("text")).alias("text"))
+    out = pii_scan(docs, redact=True)
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
+def q_repetition(spark, sf):
+    """Gopher-style repetition gates: duplicate-line fraction, duplicate-
+    line character fraction and duplicate-2-gram fraction over a corpus
+    where every 4th doc has its text duplicated as a second line (the
+    synthetic corpus is single-line). Native array algebra — the
+    comparisons never leave the row. Oracle: exploded line/2-gram
+    recounts in SQL."""
+    from .textops import repetition_stats
+
+    doc_id = F.col("doc_id")
+    text2 = F.when(doc_id % 4 == 0,
+                   F.concat_ws("\n", "text", "text")).otherwise(
+        F.concat(F.col("text"), F.lit("\ntail"), doc_id.cast("string")))
+    docs = load(spark, sf, "documents").select(
+        "doc_id", text2.alias("text"))
+    return repetition_stats(docs)

@@ -184,3 +184,73 @@ def test_minhash_exact_recall_vs_ground_truth(spark):
                  F.col("jaccard") >= 0.8).collect()}
     assert got == truth
     assert truth  # non-vacuous: planted near-dups exist
+
+
+# --- curation operators: decontamination, PII, repetition (r5) -------------
+
+
+def test_decontaminate_semantics(spark):
+    from rdf_indexer_spark.textops import decontaminate
+
+    mk = lambda i, words: (i, " ".join(words))
+    base = [f"w{j}" for j in range(12)]          # 12 tokens → 5 8-grams
+    docs = spark.createDataFrame([
+        mk(0, base),                              # identical to benchmark
+        mk(1, base[:8]),                          # shares exactly 1 8-gram
+        mk(2, ["x"] * 12),                        # no overlap
+        mk(3, ["short", "doc"]),                  # < n tokens: no grams
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame([mk(9, base)], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+           for r in decontaminate(docs, bench, n=8).collect()}
+    assert got == {0: (5, True), 1: (1, True), 2: (0, False), 3: (0, False)}
+    # min_shared raises the bar
+    got2 = {r["doc_id"]: r["contaminated"] for r in
+            decontaminate(docs, bench, n=8, min_shared=2).collect()}
+    assert got2 == {0: True, 1: False, 2: False, 3: False}
+    # non-broadcast path is identical
+    got3 = {r["doc_id"]: (r["shared_ngrams"], r["contaminated"])
+            for r in decontaminate(docs, bench, n=8,
+                                   broadcast_benchmark=False).collect()}
+    assert got3 == got
+
+
+def test_pii_scan_semantics(spark):
+    from rdf_indexer_spark.textops import pii_scan
+
+    docs = spark.createDataFrame([
+        (0, "reach me at a.b-c@mail.example.org or x@y.io thanks"),
+        (1, "call +1 415-555-0100 or (020) 7946-0958 now"),
+        (2, "server 10.0.52.25 and 192.168.1.1"),
+        (3, "nothing here"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"])
+           for r in pii_scan(docs).collect()}
+    assert got == {0: (2, 0, 0), 1: (0, 2, 0), 2: (0, 0, 2), 3: (0, 0, 0)}
+    red = {r["doc_id"]: r["redacted"]
+           for r in pii_scan(docs, redact=True).collect()}
+    assert red[0] == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert red[1] == "call <PHONE> or <PHONE> now"
+    assert red[2] == "server <IPV4> and <IPV4>"
+    assert red[3] == "nothing here"
+
+
+def test_repetition_stats_semantics(spark):
+    from rdf_indexer_spark.textops import repetition_stats
+
+    docs = spark.createDataFrame([
+        (0, "a b\na b\nc d"),       # 3 lines, 2 dup: frac 1/3; chars 8/12
+        (1, "a b c d"),             # single line, no dups
+        (2, ""),                    # degenerate
+        (3, "x y\n\n  \nx y"),      # blank lines dropped; both dup
+        (4, "a a a b"),             # 2-grams: aa aa ab → dup 1/3
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_lines"] == 3
+    assert abs(got[0]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    # dup lines "a b"×2 = 6 chars of 9 total ("a b","a b","c d")
+    assert abs(got[0]["dup_line_char_frac"] - 6 / 9) < 1e-6
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["n_lines"] == 0 and got[2]["dup_2gram_frac"] == 0.0
+    assert got[3]["n_lines"] == 2 and got[3]["dup_line_frac"] == 0.5
+    assert abs(got[4]["dup_2gram_frac"] - (1 - 2 / 3)) < 1e-6
