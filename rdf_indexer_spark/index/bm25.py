@@ -1649,6 +1649,58 @@ class IndexReader:
             matched = matched.join(tomb, "doc_id", "left_anti")
         return matched
 
+    def explain_query(self, query: str, *, mode: str = "or",
+                      where: str | None = None) -> dict:
+        """Solr ``debugQuery`` analog, planner-side: what the engine KNOWS
+        about a query before running it — per-term df/idf/packed-block
+        bytes from build-time metadata, the estimated fetch volume, the
+        routing decision search() would take and why, terms absent from
+        the index, and whether an and-mode query is unsatisfiable. ONE
+        termstats scan, no blocks touched — safe to call on every query
+        of a production workload for routing audits."""
+        terms = sorted(set(tokenize(query)))
+        stats = self.term_stats(terms)
+        per_term = {
+            t: {
+                "df": stats[t]["df"],
+                "idf": self._idf(stats[t]["df"]),
+                "bytes": stats[t]["bytes"],
+            } if t in stats else None
+            for t in terms
+        }
+        missing = [t for t in terms if t not in stats]
+        est_bytes = (sum(s["bytes"] for s in stats.values())
+                     if stats and all(s["bytes"] is not None
+                                      for s in stats.values()) else None)
+        if where is not None:
+            route, reason = "distributed", "fq filters always route " \
+                "distributed (visibility set stays executor-side)"
+        elif not stats:
+            route, reason = "none", "no query term is indexed"
+        elif est_bytes is not None:
+            big = est_bytes > self.DISTRIBUTED_FETCH_BYTES
+            route = "distributed" if big else "driver"
+            reason = (f"estimated fetch {est_bytes} bytes "
+                      f"{'>' if big else '<='} "
+                      f"{self.DISTRIBUTED_FETCH_BYTES} threshold")
+        else:
+            tot = sum(s["df"] for s in stats.values())
+            big = tot > self.DISTRIBUTED_POSTINGS_THRESHOLD
+            route = "distributed" if big else "driver"
+            reason = (f"no byte metadata (pre-r4 index): Σdf {tot} "
+                      f"{'>' if big else '<='} "
+                      f"{self.DISTRIBUTED_POSTINGS_THRESHOLD}")
+        return {
+            "terms": per_term,
+            "missing_terms": missing,
+            "est_fetch_bytes": est_bytes,
+            "route": route,
+            "route_reason": reason,
+            "and_unsatisfiable": mode == "and" and bool(missing),
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+        }
+
     def facet_queries(
         self, queries: dict[str, str], *, mode: str = "or",
         where: str | None = None,

@@ -1984,3 +1984,26 @@ def test_facet_queries_semantics(spark, facet_index_dir):
     assert got_fq == {"zeta": brute("zeta", where_even=True)}
     with pytest.raises(ValueError):
         reader.facet_queries({})
+
+
+def test_explain_query(spark, index_dir):
+    """explain_query: planner-side debug — term stats, routing decision
+    consistent with what search() actually does, missing terms, and-mode
+    satisfiability."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    ex = reader.explain_query("the alpha zzznotaword")
+    assert ex["missing_terms"] == ["zzznotaword"]
+    assert ex["terms"]["zzznotaword"] is None
+    assert ex["terms"]["the"]["df"] > 0 and ex["terms"]["the"]["idf"] > 0
+    assert ex["route"] in ("driver", "distributed")
+    reader.search("the alpha zzznotaword", 5).collect()
+    assert reader.last_path == ex["route"]
+    assert ex["and_unsatisfiable"] is False
+    assert reader.explain_query(
+        "the zzznotaword", mode="and")["and_unsatisfiable"] is True
+    none = reader.explain_query("zzznotaword")
+    assert none["route"] == "none" and none["est_fetch_bytes"] is None
+    fq = reader.explain_query("the", where="doc_id % 2 = 0")
+    assert fq["route"] == "distributed"
