@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mm", type=int, default=0,
                     help="with --lucene (plain term clauses): Lucene "
                          "minimumNumberShouldMatch / Solr dismax mm")
+    ap.add_argument("--explain", action="store_true",
+                    help="don't search: print the planner-side debug for "
+                         "the query (per-term df/idf/bytes, estimated "
+                         "fetch volume, routing decision — Solr "
+                         "debugQuery analog, one metadata scan)")
     ap.add_argument("--after", metavar="DOC:SCORE",
                     help="cursor deep paging (Solr cursorMark / Lucene "
                          "searchAfter): the previous page's last hit as "
@@ -62,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
                      "--lucene/--phrase/--exhaustive)")
         if len(args.query) > 1:
             ap.error("--after cannot be combined with multiple --query")
+    if args.explain and (args.lucene or args.phrase or args.exhaustive
+                         or args.after or len(args.query) > 1):
+        ap.error("--explain takes one plain query and no other mode flags")
     if args.slop and not args.phrase:
         ap.error("--slop requires --phrase (in --lucene use '\"...\"~N')")
     if args.mm and not args.lucene:
@@ -113,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"queries": args.query, "k": args.k, "hits": by_q}))
         return 0
     query = args.query[0]
+    if args.explain:
+        print(json.dumps({"query": query,
+                          **reader.explain_query(query)}))
+        return 0
     if args.lucene:
         hits = reader.search_lucene(query, args.k,
                                     distributed=args.distributed,

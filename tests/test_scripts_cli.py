@@ -207,3 +207,24 @@ def test_run_query_after_cursor(spark, tmp_path, capsys):
             _main()(argv)
         assert e.value.code == 2
         assert "--after" in capsys.readouterr().err
+
+
+def test_run_query_explain(spark, tmp_path, capsys):
+    """--explain prints the planner debug JSON instead of searching."""
+    import json
+
+    from rdf_indexer_spark.index.build import build_index
+
+    idx = str(tmp_path / "cliexp")
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 5}") for i in range(40)], ["doc_id", "text"])
+    build_index(spark, docs, idx, num_buckets=2, resume=False)
+    rc = _main()(["--index-dir", idx, "--query", "alpha zzz", "--explain"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["missing_terms"] == ["zzz"]
+    assert out["route"] in ("driver", "distributed")
+    assert out["terms"]["alpha"]["df"] == 40
+    with pytest.raises(SystemExit):
+        _main()(["--index-dir", idx, "--query", "a", "--explain",
+                 "--lucene"])
