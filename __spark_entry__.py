@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": Q.q_decontaminate,
         "pii_scan": Q.q_pii_scan,
         "repetition": Q.q_repetition,
+        "bm25_synonyms": Q.q_bm25_synonyms,
     }
 
 
@@ -913,6 +914,52 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN la USING (doc_id)
         LEFT JOIN ga USING (doc_id)
     """
+
+    # SynonymQuery scoring: per-group tf SUM + max-member-df idf
+    bm25_synonyms_sql = f"""
+        WITH tokd AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({tok})::DOUBLE AS dl FROM documents),
+        stats AS (
+          SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokd
+          WHERE term IN ('sort', 'order', 'fast', 'quick')
+          GROUP BY doc_id, term
+        ),
+        dfv AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokd
+          WHERE term IN ('sort', 'order', 'fast', 'quick')
+          GROUP BY term
+        ),
+        gtf AS (
+          SELECT doc_id,
+                 CASE WHEN term IN ('sort', 'order') THEN 'g_sort'
+                      ELSE 'g_fast' END AS g,
+                 sum(tf) AS tf
+          FROM tf GROUP BY doc_id, g
+        ),
+        gdf AS (
+          SELECT CASE WHEN term IN ('sort', 'order') THEN 'g_sort'
+                      ELSE 'g_fast' END AS g,
+                 max(df) AS df
+          FROM dfv GROUP BY g
+        ),
+        scores AS (
+          SELECT gtf.doc_id,
+                 sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                 ) AS score
+          FROM gtf
+          JOIN gdf USING (g)
+          JOIN dl ON gtf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY gtf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
     return {
         "archive_filter": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
@@ -1120,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": decontaminate_sql,
         "pii_scan": pii_sql,
         "repetition": repetition_sql,
+        "bm25_synonyms": bm25_synonyms_sql,
         # spellcheck: dictionary df recomputed from the corpus, identical
         # (distance asc, df desc, term asc) ranking and the same
         # input-term exclusion as IndexReader.suggest

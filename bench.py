@@ -204,6 +204,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
             "decontaminate": Q.q_decontaminate,
             "pii_scan": Q.q_pii_scan,
             "repetition": Q.q_repetition,
+            "bm25_synonyms": Q.q_bm25_synonyms,
         }
         for name, fn in headline.items():
             dt, _ = _tmin(lambda fn=fn: fn(spark, sf_dir).count())

@@ -1649,6 +1649,138 @@ class IndexReader:
             matched = matched.join(tomb, "doc_id", "left_anti")
         return matched
 
+    def _synonym_groups(self, query: str,
+                        synonyms: dict[str, list[str]]):
+        """Query tokens → synonym groups: [(name, members)] with members
+        deduped, plus the sorted union of all member terms."""
+        groups = []
+        for t in sorted(set(tokenize(query))):
+            members = sorted({t, *(synonyms.get(t) or [])})
+            groups.append(("|".join(members), members))
+        all_terms = sorted({m for _, ms in groups for m in ms})
+        return groups, all_terms
+
+    def search_synonyms(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10, *,
+        where: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Query-time synonym expansion with Lucene SynonymQuery scoring:
+        each query term and its synonyms form ONE scorer — tf at a doc is
+        the sum of member tfs, idf comes from the max member df — so a
+        doc never scores a concept twice just for using both spellings
+        (the Solr SynonymGraphFilter query-time shape). Exact top-k under
+        (score desc, doc_id asc) via the disjunctive merge walk; groups
+        whose every member is unindexed simply contribute nothing.
+
+        Driver walk (block fetch is one term-pruned scan over the union
+        of member terms); see :meth:`search_synonyms_distributed` for the
+        per-part executor shape."""
+        groups, all_terms = self._synonym_groups(query, synonyms)
+        stats = self.term_stats(all_terms)
+        if not stats:
+            return []
+        allowed = self.allowed_ids(where)
+        blocks = self.fetch_blocks([t for t in all_terms if t in stats])
+        cursors = []
+        for name, members in groups:
+            live = [m for m in members if m in stats and m in blocks]
+            if not live:
+                continue
+            idf = self._idf(max(stats[m]["df"] for m in live))
+            cursors.append(_SynCursor(
+                [_Cursor(m, 0.0, blocks[m], self.avgdl) for m in live],
+                idf, self.avgdl, name))
+        if not cursors:
+            return []
+        return _or_topk(cursors, k, deleted=self.tombstones, allowed=allowed)
+
+    def search_synonyms_distributed(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10, *,
+        where: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """The executor-side twin of :meth:`search_synonyms`: one
+        applyInPandas group per index part bucket (disjoint doc ids, so
+        per-part exact top-k merge is the global answer), idfs computed
+        once from a single termstats scan and shipped in the closure;
+        the fq predicate cogroups with the block scan like every other
+        distributed walk. Rank- and score-identical to the driver walk."""
+        groups, all_terms = self._synonym_groups(query, synonyms)
+        stats = self.term_stats(all_terms)
+        if not stats:
+            return []
+        group_spec = []  # (name, live_members, idf)
+        for name, members in groups:
+            live = [m for m in members if m in stats]
+            if live:
+                group_spec.append(
+                    (name, live,
+                     self._idf(max(stats[m]["df"] for m in live))))
+        if not group_spec:
+            return []
+        avgdl = self.avgdl
+        tomb_bc = self._tomb_bc
+        live_terms = sorted({m for _, ms, _ in group_spec for m in ms})
+        blocks = (
+            self.spark.read.parquet(self.paths.blocks)
+            .filter(F.col("term").isin(live_terms))
+            .select("part", "term", "first_doc_id", "last_doc_id", "n",
+                    "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
+        )
+
+        def _walk(pdf, allow):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")})
+            if allow is not None and len(allow) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for rec in pdf.to_dict("records"):
+                by_term.setdefault(rec["term"], []).append(rec)
+            for t in by_term:
+                by_term[t].sort(key=lambda r: r["first_doc_id"])
+            cursors = []
+            for name, members, idf in group_spec:
+                live = [m for m in members if m in by_term]
+                if not live:
+                    continue
+                cursors.append(_SynCursor(
+                    [_Cursor(m, 0.0, by_term[m], avgdl) for m in live],
+                    idf, avgdl, name))
+            if not cursors:
+                return empty
+            hits = _or_topk(cursors, k, deleted=tomb_bc.value,
+                            allowed=allow)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in hits],
+                 "score": [sc for _, sc in hits]},
+                columns=["doc_id", "score"],
+            ).astype({"doc_id": "int64", "score": "float64"})
+
+        out_schema = "doc_id long, score double"
+        if where is None:
+            local = blocks.groupBy("part").applyInPandas(
+                lambda pdf: _walk(pdf, None), schema=out_schema).collect()
+        else:
+            visible = (
+                self.spark.read.parquet(self.paths.docstore)
+                .filter(where).select("part", "doc_id")
+            )
+
+            def _walk_filtered(bl_pdf, vis_pdf):
+                allow = np.unique(vis_pdf["doc_id"].values.astype(np.int64))
+                return _walk(bl_pdf, allow)
+
+            local = (
+                blocks.groupBy("part")
+                .cogroup(visible.groupBy("part"))
+                .applyInPandas(_walk_filtered, schema=out_schema)
+                .collect()
+            )
+        merged = sorted(local, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+        return [(int(r["doc_id"]), float(r["score"])) for r in merged]
+
     def explain_query(self, query: str, *, mode: str = "or",
                       where: str | None = None) -> dict:
         """Solr ``debugQuery`` analog, planner-side: what the engine KNOWS
@@ -2319,6 +2451,46 @@ class _PhraseCursor:
     def contribution(self) -> float:
         return (self.idf_sum * self._pf
                 / (self._pf + _norm(self._dl, self.avgdl)))
+
+
+class _SynCursor:
+    """Lucene SynonymQuery scorer over a group of term cursors: the group
+    behaves as ONE pseudo-term — tf at a doc is the SUM of member tfs, the
+    idf comes from max member df (SynonymQuery's docFreq blend), so a doc
+    matching any member scores once, not per member. Exposes the exact
+    merge interface (_or_topk / the grouped walks): cur_doc / exhausted /
+    advance / contribution / term."""
+
+    def __init__(self, members: list[_Cursor], idf: float, avgdl: float,
+                 name: str):
+        self.members = members
+        self.idf = idf
+        self.avgdl = avgdl
+        self.term = name  # deterministic summation order key
+
+    @property
+    def exhausted(self) -> bool:
+        return all(m.exhausted for m in self.members)
+
+    @property
+    def cur_doc(self) -> int:
+        return min(m.cur_doc for m in self.members)
+
+    def contribution(self) -> float:
+        doc = self.cur_doc
+        tf = 0.0
+        dl = None
+        for m in self.members:
+            if not m.exhausted and m.cur_doc == doc:
+                tf += float(m.tfs[m.pos])
+                dl = float(m.dls[m.pos])
+        return self.idf * tf / (tf + _norm(dl, self.avgdl))
+
+    def advance(self) -> None:
+        doc = self.cur_doc
+        for m in self.members:
+            if not m.exhausted and m.cur_doc == doc:
+                m.advance()
 
 
 def _in_sorted(arr: np.ndarray | None, doc: int) -> bool:

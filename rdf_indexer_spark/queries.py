@@ -1153,3 +1153,21 @@ def q_repetition(spark, sf):
     docs = load(spark, sf, "documents").select(
         "doc_id", text2.alias("text"))
     return repetition_stats(docs)
+
+
+SYNONYMS = {"sort": ["order"], "fast": ["quick"]}  # quick: unindexed member
+
+
+def q_bm25_synonyms(spark, sf):
+    """Query-time synonyms with Lucene SynonymQuery scoring: each group
+    (term + synonyms) is ONE scorer — tf summed across members, idf from
+    the max member df — served through the distributed per-part walk.
+    'quick' is absent from the corpus, so its group degrades to the lone
+    indexed member. Oracle: grouped-tf/max-df SQL BM25."""
+    from .index.bm25 import IndexReader
+
+    reader = IndexReader(spark, _index_for(spark, sf))
+    hits = reader.search_synonyms_distributed("fast sort", SYNONYMS, 10)
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    ).select("doc_id", F.round("score", 4).alias("score"))

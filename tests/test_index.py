@@ -2007,3 +2007,59 @@ def test_explain_query(spark, index_dir):
     assert none["route"] == "none" and none["est_fetch_bytes"] is None
     fq = reader.explain_query("the", where="doc_id % 2 = 0")
     assert fq["route"] == "distributed"
+
+
+def test_search_synonyms(spark, index_dir):
+    """SynonymQuery semantics: tf sums across group members, idf from max
+    member df; driver == distributed; a doc using both spellings scores
+    the concept ONCE (less than two independent terms would give it);
+    all-unindexed groups vanish."""
+    import math
+
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    syn = {"alpha": ["beta"]}
+    drv = reader.search_synonyms("alpha the", syn, 15)
+    dist = reader.search_synonyms_distributed("alpha the", syn, 15)
+    assert [(d, round(s, 9)) for d, s in drv] == \
+        [(d, round(s, 9)) for d, s in dist]
+    assert drv, "synonym query found nothing"
+
+    # brute-force the grouped scoring from the corpus
+    docs = dict(_synth_docs())
+    dfs = {}
+    for t in ("alpha", "beta", "the"):
+        dfs[t] = sum(1 for txt in docs.values() if t in txt.split())
+    n = len(docs)
+    avgdl = sum(len(t.split()) for t in docs.values()) / n
+
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    want = []
+    for did, txt in docs.items():
+        toks = txt.split()
+        dl = len(toks)
+        tf_g = toks.count("alpha") + toks.count("beta")
+        tf_t = toks.count("the")
+        sc = 0.0
+        knorm = 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+        if tf_g:
+            sc += idf(max(dfs["alpha"], dfs["beta"])) * tf_g / (tf_g + knorm)
+        if tf_t:
+            sc += idf(dfs["the"]) * tf_t / (tf_t + knorm)
+        if sc > 0:
+            want.append((did, sc))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [(d, round(s, 6)) for d, s in drv] == \
+        [(d, round(s, 6)) for d, s in want[:15]]
+
+    # group with no indexed member contributes nothing (not an error)
+    only_ghost = reader.search_synonyms("zzznothing", {"zzznothing": ["qqq"]}, 5)
+    assert only_ghost == []
+    # fq applies
+    flt = reader.search_synonyms("alpha the", syn, 10, where="doc_id % 2 = 0")
+    assert all(d % 2 == 0 for d, _ in flt)
+    assert flt == reader.search_synonyms_distributed(
+        "alpha the", syn, 10, where="doc_id % 2 = 0")
