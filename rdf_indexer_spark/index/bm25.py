@@ -1615,6 +1615,7 @@ class IndexReader:
 
     def matched_docs(
         self, query: str, *, mode: str = "or", where: str | None = None,
+        _stats: dict | None = None,
     ) -> DataFrame:
         """The query's FULL match set as a declarative DataFrame of
         doc_ids (no scoring): term-pruned postings decode → per-doc
@@ -1625,7 +1626,8 @@ class IndexReader:
         if mode not in ("or", "and"):
             raise ValueError(f"unknown mode: {mode!r}")
         terms = sorted(set(tokenize(query)))
-        stats = self.term_stats(terms)
+        stats = self.term_stats(terms) if _stats is None else \
+            {t: _stats[t] for t in terms if t in _stats}
         empty = self.spark.createDataFrame([], "doc_id long")
         if not stats or (mode == "and" and len(stats) < len(terms)):
             return empty
@@ -1790,6 +1792,8 @@ class IndexReader:
         the index, and whether an and-mode query is unsatisfiable. ONE
         termstats scan, no blocks touched — safe to call on every query
         of a production workload for routing audits."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"unknown mode: {mode!r}")
         terms = sorted(set(tokenize(query)))
         stats = self.term_stats(terms)
         per_term = {
@@ -1808,7 +1812,11 @@ class IndexReader:
             route, reason = "distributed", "fq filters always route " \
                 "distributed (visibility set stays executor-side)"
         elif not stats:
-            route, reason = "none", "no query term is indexed"
+            # search() still takes the driver path (trivially empty) —
+            # report what it actually does so route == last_path always
+            route, reason = "driver", ("no query term is indexed "
+                                       "(search() returns empty from the "
+                                       "driver path)")
         elif est_bytes is not None:
             big = est_bytes > self.DISTRIBUTED_FETCH_BYTES
             route = "distributed" if big else "driver"
@@ -1841,16 +1849,21 @@ class IndexReader:
         over the index — the arbitrary-bucket companion of facet.field
         (Collex sidebars mix field facets with canned query facets).
 
-        One Spark job for the whole set: each subquery's declarative
+        One COUNT job for the whole set: each subquery's declarative
         match set (:meth:`matched_docs` — term-pruned decode, fq
         semi-join, tombstone anti-join) is tagged and unioned, a single
         partial-aggregated count per tag comes back, and a generated name
         spine left-join restores Solr's explicit zero counts for
-        subqueries matching nothing. Returns (facet_query, n)."""
+        subqueries matching nothing; every subquery's term statistics
+        resolve in one batched termstats scan up front (not one metadata
+        job per subquery). Returns (facet_query, n)."""
         if not queries:
             raise ValueError("facet_queries needs at least one subquery")
+        all_terms = sorted({t for q in queries.values()
+                            for t in set(tokenize(q))})
+        stats = self.term_stats(all_terms)
         tagged = [
-            self.matched_docs(q, mode=mode, where=where)
+            self.matched_docs(q, mode=mode, where=where, _stats=stats)
             .select(F.lit(name).alias("facet_query"), "doc_id")
             for name, q in sorted(queries.items())
         ]

@@ -68,8 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         if len(args.query) > 1:
             ap.error("--after cannot be combined with multiple --query")
     if args.explain and (args.lucene or args.phrase or args.exhaustive
-                         or args.after or len(args.query) > 1):
-        ap.error("--explain takes one plain query and no other mode flags")
+                         or args.after or args.distributed is not None
+                         or len(args.query) > 1):
+        ap.error("--explain takes one plain query and no other mode flags "
+                 "(routing is part of what it reports, so it cannot be "
+                 "combined with --distributed)")
     if args.slop and not args.phrase:
         ap.error("--slop requires --phrase (in --lucene use '\"...\"~N')")
     if args.mm and not args.lucene:

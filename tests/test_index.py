@@ -2003,8 +2003,13 @@ def test_explain_query(spark, index_dir):
     assert ex["and_unsatisfiable"] is False
     assert reader.explain_query(
         "the zzznotaword", mode="and")["and_unsatisfiable"] is True
+    # all-missing-term queries report the path search() ACTUALLY takes
     none = reader.explain_query("zzznotaword")
-    assert none["route"] == "none" and none["est_fetch_bytes"] is None
+    assert none["route"] == "driver" and none["est_fetch_bytes"] is None
+    reader.search("zzznotaword", 5).collect()
+    assert reader.last_path == none["route"]
+    with pytest.raises(ValueError):
+        reader.explain_query("the", mode="bogus")
     fq = reader.explain_query("the", where="doc_id % 2 = 0")
     assert fq["route"] == "distributed"
 
