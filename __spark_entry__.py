@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": Q.q_pii_scan,
         "repetition": Q.q_repetition,
         "bm25_synonyms": Q.q_bm25_synonyms,
+        "bm25_sql_facets": Q.q_bm25_sql_facets,
     }
 
 
@@ -1168,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": pii_sql,
         "repetition": repetition_sql,
         "bm25_synonyms": bm25_synonyms_sql,
+        "bm25_sql_facets": facets_sql,
         # spellcheck: dictionary df recomputed from the corpus, identical
         # (distance asc, df desc, term asc) ranking and the same
         # input-term exclusion as IndexReader.suggest

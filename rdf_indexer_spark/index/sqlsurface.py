@@ -422,6 +422,72 @@ def _search_local(index_dir: str, query: str, k: int,
                       allowed=allowed, after=after)
 
 
+def _facets_local(index_dir: str, query: str, fields: list[str],
+                  top: int, mode: str,
+                  where: str | None) -> list[tuple[str, str | None, int]]:
+    """Worker-side facet.field counts — the SQL-surface twin of
+    ``IndexReader.facet_counts``: ids-only block decode for the match set
+    (pyarrow term-filtered read), docstore metadata columns masked by
+    match ∩ visible − tombstones, per-field (n desc, value asc) top-N.
+    Like the search UDTF this is the single-task serving surface; the
+    cogrouped DataFrame kernel stays the multi-TB path."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..analyzer import tokenize
+    from .codec import delta_decode, varbyte_decode
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    state = _load_reader_state(index_dir)
+    terms = sorted(set(tokenize(query))) if query not in ("", "*:*") else []
+    matched: np.ndarray | None = None
+    if terms:
+        blocks_tbl = pq.read_table(
+            os.path.join(index_dir, "blocks"),
+            columns=["term", "ids_bin"],
+            filters=[("term", "in", terms)],
+        )
+        per_term: dict[str, list] = {}
+        for rec in blocks_tbl.to_pylist():
+            ids = delta_decode(varbyte_decode(bytes(rec["ids_bin"])))
+            per_term.setdefault(rec["term"], []).append(ids)
+        if mode == "and" and len(per_term) < len(terms):
+            return []
+        sets = [np.unique(np.concatenate(v)) for v in per_term.values()]
+        if not sets:
+            return []
+        matched = sets[0]
+        for st in sets[1:]:
+            matched = (np.intersect1d(matched, st, assume_unique=True)
+                       if mode == "and"
+                       else np.union1d(matched, st))
+    doc_tbl = pq.read_table(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_id", *fields],
+    ).to_pandas()
+    mask = np.ones(len(doc_tbl), dtype=bool)
+    if matched is not None:
+        mask &= np.isin(doc_tbl["doc_id"].values.astype(np.int64), matched)
+    if len(state["tombstones"]):
+        mask &= ~np.isin(doc_tbl["doc_id"].values.astype(np.int64),
+                         state["tombstones"])
+    allowed = _allowed_local(index_dir, where)
+    if allowed is not None:
+        mask &= np.isin(doc_tbl["doc_id"].values.astype(np.int64), allowed)
+    sub = doc_tbl[mask]
+    out: list[tuple[str, str | None, int]] = []
+    for f_name in fields:
+        vc = sub[f_name].astype("object").value_counts(dropna=False)
+        rows = sorted(
+            ((None if pd.isna(v) else str(v), int(n))
+             for v, n in vc.items()),
+            key=lambda x: (-x[1], x[0] if x[0] is not None else "\uffff"),
+        )[:top]
+        out.extend((f_name, v, n) for v, n in rows)
+    return out
+
+
 def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
     """Register ``name(query, k[, mode[, where]])`` as a SQL table function
     for ``index_dir`` — mode 'or' (default), 'and' (strict +required, the
@@ -464,4 +530,20 @@ def register_sql_surface(spark, index_dir: str, name: str = "bm25_search"):
 
     fn = udtf(BM25Search, returnType="doc_id long, score double, rank int")
     spark.udtf.register(name, fn)
+
+    class BM25Facets:
+        def eval(self, query: str, fields: str, top: int = 10,
+                 mode: str = "or", where: str = None):
+            flist = [f.strip() for f in fields.split(",") if f.strip()]
+            if not flist:
+                raise ValueError("bm25_facets needs a comma-separated "
+                                 "field list")
+            for row in _facets_local(index_dir, query, flist, int(top),
+                                     mode, where):
+                yield row
+
+    facets_fn = udtf(
+        BM25Facets,
+        returnType="facet_field string, facet_value string, n long")
+    spark.udtf.register(f"{name}_facets", facets_fn)
     return fn

@@ -1171,3 +1171,17 @@ def q_bm25_synonyms(spark, sf):
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_sql_facets(spark, sf):
+    """Solr facet.field through the SQL table surface: ``SELECT * FROM
+    bm25_search_facets(q, 'lang,source', 5)`` — the UDTF twin of
+    IndexReader.facet_counts (ids-only pyarrow block decode + docstore
+    metadata mask on the worker). Oracle: the same DuckDB match-set +
+    melt + QUALIFY top-N as bm25_facets."""
+    from .index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, _index_for(spark, sf))
+    q = " ".join(BM25_QUERY_TERMS)
+    return spark.sql(
+        f"SELECT * FROM bm25_search_facets('{q}', 'lang,source', 5)")

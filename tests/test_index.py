@@ -2068,3 +2068,38 @@ def test_search_synonyms(spark, index_dir):
     assert all(d % 2 == 0 for d, _ in flt)
     assert flt == reader.search_synonyms_distributed(
         "alpha the", syn, 10, where="doc_id % 2 = 0")
+
+
+def test_sql_surface_facets(spark, facet_index_dir):
+    """bm25_search_facets UDTF == IndexReader.facet_counts for or/and/
+    match-all/fq shapes; bad field lists and modes error loudly."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, facet_index_dir, name="bm25_f")
+    reader = IndexReader(spark, facet_index_dir)
+
+    def sql(call):
+        return {(r["facet_field"], r["facet_value"]): r["n"]
+                for r in spark.sql(call).collect()}
+
+    def api(df):
+        return {(r["facet_field"], r["facet_value"]): r["n"]
+                for r in df.collect()}
+
+    assert sql("SELECT * FROM bm25_f_facets('zeta w1', 'lang,source', 5)") \
+        == api(reader.facet_counts("zeta w1", ["lang", "source"], top=5))
+    assert sql("SELECT * FROM bm25_f_facets('zeta w1', 'lang', 2, 'and')") \
+        == api(reader.facet_counts("zeta w1", ["lang"], top=2, mode="and"))
+    assert sql("SELECT * FROM bm25_f_facets('*:*', 'source', 5, 'or', "
+               "'doc_id % 2 = 0')") \
+        == api(reader.facet_counts("*:*", ["source"], top=5,
+                                   where="doc_id % 2 = 0"))
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        spark.sql("SELECT * FROM bm25_f_facets('zeta', '  ', 5)").collect()
+    with pytest.raises((PythonException, Py4JJavaError)):
+        spark.sql("SELECT * FROM bm25_f_facets('zeta', 'lang', 5, 'bad')"
+                  ).collect()
