@@ -1880,6 +1880,39 @@ def test_search_reranked_semantics(spark, index_dir):
                                   boost_field="dl") == []
 
 
+def test_sql_surface_lateral_batch(spark, index_dir):
+    """SQL-side BATCH serving: LATERAL-correlate the ``bm25_search`` UDTF
+    against a query table — the SQL twin of ``IndexReader.search_many``
+    (one statement answers a whole query set, one UDTF eval per query
+    row, scheduled across the cluster with the query table's partitions).
+    Per-query results must be rank- and score-identical to the Python
+    batch surface, including the zero-hit query contributing no rows."""
+    from rdf_indexer_spark.index.bm25 import IndexReader
+    from rdf_indexer_spark.index.sqlsurface import register_sql_surface
+
+    register_sql_surface(spark, index_dir)
+    reader = IndexReader(spark, index_dir)
+    qset = {"a": "the alpha", "b": "needle",
+            "c": "beta gamma", "d": "zzznotaword"}
+    spark.createDataFrame(sorted(qset.items()), ["qid", "qtext"]) \
+        .createOrReplaceTempView("qset_lateral")
+    got: dict[str, list] = {}
+    for r in spark.sql(
+        "SELECT q.qid, s.doc_id, s.score, s.rank "
+        "FROM qset_lateral q, LATERAL bm25_search(q.qtext, 7) s"
+    ).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    want: dict[str, list] = {}
+    for r in reader.search_many(qset, 7).collect():
+        want.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert "d" not in got and "d" not in want
+    assert set(got) == {"a", "b", "c"}
+    for qid in sorted(got):
+        assert sorted(got[qid]) == sorted(want[qid]), qid
+
+
 def test_sql_surface_cursor_paging(spark, index_dir):
     """bm25_search(..., after_doc, after_score): SQL pages concatenate to
     the single-shot ranking in or- and and-mode; half a cursor or a
