@@ -917,7 +917,12 @@ class IndexReader:
         The seed analysis is a driver-side tokenize of ONE document plus
         one termstats scan (df for the seed's distinct terms); the search
         itself is the normal auto-routed WAND walk, so the heavy part
-        inherits the distributed shape."""
+        inherits the distributed shape. Seed exclusion is a k+1
+        overfetch + post-drop, NOT an fq predicate: the fq path scans the
+        docstore to build the visible set, which is the right shape for a
+        real ``where`` but absurd for excluding one known id (the top-k
+        of corpus−seed is exactly the top-k+1 of the corpus minus the
+        seed row). ``where`` still routes through fq when given."""
         counts: dict[str, int] = {}
         for t in tokenize(text):
             counts[t] = counts.get(t, 0) + 1
@@ -933,11 +938,12 @@ class IndexReader:
         self.last_mlt_terms = top_terms
         if not top_terms:
             return []
-        fq = where
-        if exclude_doc_id is not None:
-            excl = f"doc_id != {int(exclude_doc_id)}"
-            fq = excl if fq is None else f"({fq}) AND {excl}"
-        return self.search_wand_distributed(" ".join(top_terms), k, where=fq)
+        if exclude_doc_id is None:
+            return self.search_wand_distributed(
+                " ".join(top_terms), k, where=where)
+        hits = self.search_wand_distributed(
+            " ".join(top_terms), k + 1, where=where)
+        return [h for h in hits if h[0] != int(exclude_doc_id)][:k]
 
     def suggest(
         self, term: str, *, max_dist: int = 2, top: int = 5,
