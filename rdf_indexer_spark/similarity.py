@@ -38,8 +38,27 @@ import math
 from functools import lru_cache
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+# Chunk size for the batched numpy kernels below: bounds the (rows × dim ×
+# planes/queries) float64 intermediates to a few tens of MB per Arrow batch.
+_NP_CHUNK = 1024
+
+
+def _fold_dot(x64: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Exact left-fold dot products: for rows X (n, dim) and columns W
+    (dim, m), returns (n, m) sums accumulated IN ARRAY ORDER via cumsum —
+    bit-identical to Spark's ``aggregate(zip_with(a, b, x*y), 0.0, +)``
+    fold (0.0 + p0 == p0 exactly, then strictly sequential additions), so
+    swapping the JVM higher-order-function dot for this kernel cannot
+    change any result, not even in the last ulp. A plain ``X @ W`` would
+    NOT have this property (BLAS reorders the additions)."""
+    prods = x64[:, :, None] * w[None, :, :]
+    return np.cumsum(prods, axis=1)[:, -1, :]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -127,28 +146,66 @@ def _signature_col(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def _make_signature_batch_udf(dim: int, n_tables: int, n_bits: int):
+    """Arrow UDF computing EVERY table's sign signature in one pass:
+    vec → array of ``n_tables`` longs. Dot products use the exact-left-fold
+    kernel (:func:`_fold_dot`), so bit b of table t is set iff the same
+    IEEE-754 sum the JVM ``aggregate`` fold produces is > 0 — signatures
+    are bit-identical to the per-bit expression path (asserted in
+    tests/test_similarity.py), while one vectorized kernel replaces
+    ``n_tables × n_bits`` interpreted higher-order expressions and the
+    n_tables-way union of source scans."""
+    planes = np.stack([_hyperplanes(dim, n_bits, t) for t in range(n_tables)])
+    w = planes.reshape(n_tables * n_bits, dim).T.copy()  # (dim, T*nb)
+    bitvals = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        idxs, rows = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                out[i] = [0] * n_tables  # JVM: null fold → bit never set
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (dim,):
+                out[i] = [0] * n_tables  # JVM: zip_with null-pads → null fold
+                continue
+            idxs.append(i)
+            rows.append(a)
+        if rows:
+            x = np.stack(rows)
+            for s in range(0, len(x), _NP_CHUNK):
+                xc = x[s:s + _NP_CHUNK]
+                dots = _fold_dot(xc, w)                      # (n, T*nb)
+                bits = (dots > 0).reshape(len(xc), n_tables, n_bits)
+                sigs = (bits * bitvals[None, None, :]).sum(axis=2)
+                for j, row in enumerate(sigs):
+                    out[idxs[s + j]] = [int(v) for v in row]
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def lsh_index(
     df: DataFrame, dim: int, n_tables: int = 4, n_bits: int = 12,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(table, signature, vec_id, embedding) bucket table — on a cluster this
     is written partitioned by (table, pmod(signature, P)) so a probe prunes
-    to a handful of files."""
-    parts = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, t)
-        parts.append(
-            df.select(
-                F.lit(t).alias("table"),
-                _signature_col(F.col(vec_col), planes).alias("signature"),
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("embedding"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    to a handful of files.
+
+    One Arrow-batched pass computes all tables' signatures and a posexplode
+    fans them out — replacing the previous ``n_tables``-way union whose
+    every branch re-scanned the source and evaluated ``n_bits`` interpreted
+    HOF dot products per row (~3 s of py4j plan construction + 4 scans for
+    the default 4×12 config; signatures proven bit-identical)."""
+    sig_udf = _make_signature_batch_udf(dim, n_tables, n_bits)
+    return df.select(
+        F.posexplode(sig_udf(F.col(vec_col))).alias("table", "signature"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    ).select("table", "signature", "vec_id", "embedding")
 
 
 def embedding_near_duplicates(
@@ -209,22 +266,87 @@ def cosine_topk_batch(
     df: DataFrame, queries_df: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k for MANY queries in ONE job: broadcast the (query_id,
-    qvec) relation, score every (vector, query) pair natively, rank within
-    each query (window partitioned by query_id — parallel across queries).
-    Returns (query_id, vec_id, cosine, rank)."""
+    """Exact top-k for MANY queries in ONE job: the (small by contract)
+    query set is collected and closure-shipped, one ``mapInPandas`` pass
+    emits every (query, vector) cosine with the exact-left-fold kernel
+    (:func:`_fold_dot` — bit-identical to the previous broadcast-crossJoin
+    + HOF plan, which paid an interpreted 2×dim-element fold per pair and
+    shipped the query vector on every joined row), and a window ranks
+    within each query. Returns (query_id, vec_id, cosine, rank)."""
     from pyspark.sql.window import Window
 
-    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (qn * _norm(F.col(vec_col)))
+    q_rows = queries_df.select("query_id", "qvec").collect()
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    qmat = np.array([[float(x) for x in r["qvec"]] for r in q_rows],
+                    dtype=np.float64)
+    m, dim = qmat.shape if qmat.ndim == 2 else (0, 0)
+    # per-query norms with the same exact fold the JVM used per row
+    qns = np.sqrt(_fold_dot(qmat, qmat.T)[np.arange(m), np.arange(m)]) \
+        if m else np.array([])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].values
+            vecs = pdf[vec_col].values
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) \
+                if len(vecs) else np.empty((0, dim))
+            for s in range(0, max(len(x), 1), _NP_CHUNK):
+                xc = x[s:s + _NP_CHUNK]
+                if not len(xc):
+                    continue
+                dots = _fold_dot(xc, qmat.T)                    # (n, m)
+                norms = np.sqrt(
+                    np.cumsum(xc * xc, axis=1)[:, -1])          # (n,)
+                cos = dots / (qns[None, :] * norms[:, None])
+                n = len(xc)
+                yield pd.DataFrame({
+                    "query_id": np.tile(qids, n),
+                    "vec_id": np.repeat(ids[s:s + _NP_CHUNK], m),
+                    "cosine": cos.reshape(-1),
+                })
+
+    scored = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        score, schema="query_id int, vec_id long, cosine double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-        .crossJoin(F.broadcast(queries_df.select("query_id", "qvec")))
-        .select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _cosine_for_queries_udf(queries: list[tuple[int, list[float]]]):
+    """Arrow UDF (query_id, embedding) → exact cosine against the matching
+    closure-shipped query vector. Replaces the broadcast qvec join + the
+    interpreted per-row HOF fold on the candidate-scoring paths: the query
+    set is small by contract (it came from the driver as a list), so the
+    matrix rides the task closure and only (query_id, embedding) cross the
+    Arrow boundary. Sums use the exact-left-fold kernel — bit-identical to
+    the JVM expression it replaces."""
+    qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    qmat = np.array([[float(x) for x in v] for _, v in queries],
+                    dtype=np.float64)
+    dim = qmat.shape[1]
+    qns = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+    slot = {int(q): i for i, q in enumerate(qids)}
+
+    @pandas_udf("double")
+    def cos_udf(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        n = len(qid)
+        out = np.full(n, np.nan)
+        if n == 0:
+            return pd.Series(out)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        qi = np.array([slot[int(q)] for q in qid], dtype=np.int64)
+        for s in range(0, n, _NP_CHUNK):
+            xc = x[s:s + _NP_CHUNK]
+            qc = qi[s:s + _NP_CHUNK]
+            dots = np.cumsum(xc * qmat[qc], axis=1)[:, -1]
+            norms = np.sqrt(np.cumsum(xc * xc, axis=1)[:, -1])
+            out[s:s + _NP_CHUNK] = dots / (qns[qc] * norms)
+        return pd.Series(out)
+
+    return cos_udf, dim
 
 
 def lsh_topk_batch(
@@ -254,21 +376,16 @@ def lsh_topk_batch(
     probes = spark.createDataFrame(
         probe_rows, "query_id int, table int, signature long"
     ).distinct()
-    qvecs = spark.createDataFrame(
-        [(qid, [float(x) for x in qv]) for qid, qv in queries],
-        "query_id int, qvec array<double>",
-    )
     cand = (
         index_df.join(F.broadcast(probes), ["table", "signature"])
         .select("query_id", "vec_id", "embedding")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    cos = _dot(F.col("embedding"), F.col("qvec")) / (qn * _norm(F.col("embedding")))
+    cos_udf, _ = _cosine_for_queries_udf(queries)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.join(F.broadcast(qvecs), "query_id")
-        .select("query_id", "vec_id", cos.alias("cosine"))
+        cand.select("query_id", "vec_id",
+                    cos_udf(F.col("query_id"), F.col("embedding")).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -428,17 +545,43 @@ def ivf_index(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(cell, vec_id, embedding): every vector assigned to its nearest
-    centroid, natively (argmin over broadcast centroid literals). On a
-    cluster this is written partitioned by ``cell`` so an nprobe search
-    prunes the scan to nprobe/n_centroids of the data."""
-    dists = F.array(*[
-        F.struct(_l2_to_centroid(F.col(vec_col), c).alias("d"),
-                 F.lit(i).alias("cell"))
-        for i, c in enumerate(centroids)
-    ])
-    best = F.array_min(dists)
+    centroid. On a cluster this is written partitioned by ``cell`` so an
+    nprobe search prunes the scan to nprobe/n_centroids of the data.
+
+    Assignment runs in one Arrow-batched kernel with the exact-left-fold
+    L2 (:func:`_fold_dot` over squared differences — bit-identical sums to
+    the previous per-centroid ``aggregate(zip_with(...))`` expressions,
+    and ``argmin`` breaks distance ties toward the smaller cell exactly
+    like ``array_min`` over (d, cell) structs did). The expression form
+    paid ``n_centroids`` interpreted HOF evaluations per row and an
+    ~O(n_centroids × dim) literal tree in every plan."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = cmat.shape
+
+    @pandas_udf(IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int32)
+        idxs, rows = [], []
+        for i, v in enumerate(vecs):
+            a = np.asarray(v, dtype=np.float64) if v is not None else None
+            if a is None or a.shape != (dim,):
+                out[i] = 0
+                continue
+            idxs.append(i)
+            rows.append(a)
+        if rows:
+            x = np.stack(rows)
+            for s in range(0, len(x), _NP_CHUNK):
+                xc = x[s:s + _NP_CHUNK]
+                diff = xc[:, :, None] - cmat.T[None, :, :]   # (n, dim, k)
+                d2 = np.cumsum(diff * diff, axis=1)[:, -1, :]
+                best = d2.argmin(axis=1).astype(np.int32)
+                for j, b in enumerate(best):
+                    out[idxs[s + j]] = b
+        return pd.Series(out, dtype="int32")
+
     return df.select(
-        best["cell"].alias("cell"),
+        cell_udf(F.col(vec_col)).alias("cell"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
     )
@@ -475,19 +618,14 @@ def ivf_topk_batch(
         order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
         probe_rows.extend((qid, int(c)) for c in order[:nprobe])
     probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
-    qvecs = spark.createDataFrame(
-        [(qid, [float(x) for x in qv]) for qid, qv in queries],
-        "query_id int, qvec array<double>",
-    )
     cand = index_df.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", "embedding"
     )
-    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    cos = _dot(F.col("embedding"), F.col("qvec")) / (qn * _norm(F.col("embedding")))
+    cos_udf, _ = _cosine_for_queries_udf(queries)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.join(F.broadcast(qvecs), "query_id")
-        .select("query_id", "vec_id", cos.alias("cosine"))
+        cand.select("query_id", "vec_id",
+                    cos_udf(F.col("query_id"), F.col("embedding")).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -244,3 +244,77 @@ def test_embed_neardup_hot_bucket_guard(spark):
     assert out.count() == 0
     full = embedding_near_duplicates(df, dim=8, threshold=0.9, max_bucket=256)
     assert full.count() == 20 * 19 // 2
+
+
+def test_signature_udf_bit_identical_to_expression_path(spark, vecs):
+    """r6 optimization guard: the Arrow exact-left-fold signature kernel
+    (lsh_index) must be BIT-identical to the per-bit JVM expression path
+    it replaced (cumsum reproduces the aggregate fold's IEEE-754 sums)."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.similarity import (_hyperplanes, _signature_col,
+                                              lsh_index)
+
+    _, df = vecs
+    dim, n_tables, n_bits = 16, 3, 10
+    new = lsh_index(df, dim=dim, n_tables=n_tables, n_bits=n_bits).select(
+        "table", "signature", "vec_id")
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, t)
+        parts.append(df.select(
+            F.lit(t).alias("table"),
+            _signature_col(F.col("embedding"), planes).alias("signature"),
+            F.col("vec_id")))
+    old = parts[0]
+    for p in parts[1:]:
+        old = old.unionByName(p)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_ivf_cell_udf_matches_expression_argmin(spark, vecs):
+    """r6 optimization guard: the Arrow nearest-cell kernel (ivf_index)
+    must reproduce the array_min-over-(d, cell)-structs assignment,
+    including the smaller-cell tie-break."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexer_spark.similarity import (_l2_to_centroid, ivf_index,
+                                              kmeans_centroids)
+
+    _, df = vecs
+    cents = kmeans_centroids(df, dim=16, n_centroids=8, sample=100)
+    new = ivf_index(df, cents).select("cell", "vec_id")
+    dists = F.array(*[
+        F.struct(_l2_to_centroid(F.col("embedding"), c).alias("d"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(cents)])
+    old = df.select(F.array_min(dists)["cell"].alias("cell"), F.col("vec_id"))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_cosine_topk_batch_bit_identical_to_crossjoin_path(spark, vecs):
+    """r6 optimization guard: the mapInPandas batch cosine (exact-left-fold
+    kernel, closure-shipped query matrix) must equal the broadcast-crossJoin
+    + HOF plan it replaced, bit for bit (scores AND ranks)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rdf_indexer_spark.similarity import _dot, _norm, cosine_topk_batch
+
+    _, df = vecs
+    qdf = df.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    new = cosine_topk_batch(df, qdf, 5)
+    qn = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    cos = _dot(F.col("embedding"), F.col("qvec")) / (qn * _norm(F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    old = (df.select("vec_id", "embedding")
+           .crossJoin(F.broadcast(qdf))
+           .select("query_id", "vec_id", cos.alias("cosine"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 5))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
