@@ -65,6 +65,14 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        # Per-instance relation cache: repeated reads of the same index
+        # table within this reader's lifetime (a multi-step query like
+        # collate = termstats presence + suggestion + search) reuse one
+        # DataFrame instead of re-listing files and re-reading footers per
+        # call. A reader is already snapshot-scoped (stats are cached at
+        # construction), so this adds no new staleness class — mutation
+        # paths construct fresh readers.
+        self._df_cache: dict[str, DataFrame] = {}
         row = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = row["n_docs"]
         self.avgdl = float(row["avgdl"])
@@ -85,6 +93,15 @@ class IndexReader:
         # every task closure — task size stays O(1) in tombstone count.
         self._tomb_bc = spark.sparkContext.broadcast(self.tombstones)
 
+    def _read(self, path: str) -> DataFrame:
+        """Cached parquet relation for one of this index's tables (see
+        ``_df_cache`` in ``__init__``)."""
+        df = self._df_cache.get(path)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            self._df_cache[path] = df
+        return df
+
     # -- statistics --------------------------------------------------------
 
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
@@ -95,7 +112,7 @@ class IndexReader:
         routing estimate from it — never two scans per query."""
         if not terms:
             return {}
-        ts = self.spark.read.parquet(self.paths.termstats)
+        ts = self._read(self.paths.termstats)
         has_bytes = "bytes" in ts.columns
         cols = ["term", "df"] + (["bytes"] if has_bytes else [])
         rows = ts.filter(F.col("term").isin(terms)).select(*cols).collect()
@@ -135,9 +152,9 @@ class IndexReader:
         block scan itself — only the query terms' packed blocks are ever
         read or decoded."""
         if os.path.exists(self.paths.postings):
-            df = self.spark.read.parquet(self.paths.postings)
+            df = self._read(self.paths.postings)
             return df.filter(F.col("term").isin(terms)) if terms else df
-        blocks = self.spark.read.parquet(self.paths.blocks)
+        blocks = self._read(self.paths.blocks)
         if terms:
             blocks = blocks.filter(F.col("term").isin(terms))
         return blocks.select("term", "ids_bin", "tfs_bin", "dls_bin").mapInPandas(
@@ -194,13 +211,13 @@ class IndexReader:
         scored = scored.drop("_nterms")
         if where is not None:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("doc_id")
             )
             scored = scored.join(visible, "doc_id", "left_semi")
         if len(self.tombstones):
             # anti-join (not isin): the tombstone set stays distributed
-            tomb = self.spark.read.parquet(self._tomb_path).select("doc_id").distinct()
+            tomb = self._read(self._tomb_path).select("doc_id").distinct()
             scored = scored.join(tomb, "doc_id", "left_anti")
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
@@ -210,7 +227,7 @@ class IndexReader:
     def fetch_blocks(
         self, terms: list[str], with_positions: bool = False,
     ) -> dict[str, list]:
-        blocks = self.spark.read.parquet(self.paths.blocks)
+        blocks = self._read(self.paths.blocks)
         cols = ["term", "first_doc_id", "last_doc_id", "n", "max_tf",
                 "dl_min", "ids_bin", "tfs_bin", "dls_bin"]
         if with_positions:
@@ -249,7 +266,7 @@ class IndexReader:
         if where is None:
             return None
         rows = (
-            self.spark.read.parquet(self.paths.docstore)
+            self._read(self.paths.docstore)
             .filter(where).select("doc_id").collect()
         )
         return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
@@ -384,7 +401,7 @@ class IndexReader:
         """Raise unless the blocks carry real positional payloads (cached
         per reader — one limit-1 metadata probe, then free)."""
         if getattr(self, "_positional", None) is None:
-            blocks = self.spark.read.parquet(self.paths.blocks)
+            blocks = self._read(self.paths.blocks)
             if "pos_bin" not in blocks.columns:
                 self._positional = False
             else:
@@ -406,7 +423,7 @@ class IndexReader:
         avgdl = self.avgdl
         tomb_bc = self._tomb_bc
         blocks = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(uniq))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin",
@@ -448,7 +465,7 @@ class IndexReader:
             ).collect()
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -471,7 +488,7 @@ class IndexReader:
         :meth:`score_phrase_exhaustive` (narrow vectorized decode, pruned
         to the phrase's terms by the parquet ``term`` predicate)."""
         self._require_positional()
-        blocks = self.spark.read.parquet(self.paths.blocks)
+        blocks = self._read(self.paths.blocks)
         src = blocks.filter(F.col("term").isin(terms)).select(
             "term", "ids_bin", "tfs_bin", "dls_bin", "pos_bin")
         return src.mapInPandas(
@@ -525,12 +542,12 @@ class IndexReader:
         scored = pf.select("doc_id", score.alias("score"))
         if where is not None:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("doc_id")
             )
             scored = scored.join(visible, "doc_id", "left_semi")
         if len(self.tombstones):
-            tomb = self.spark.read.parquet(self._tomb_path).select(
+            tomb = self._read(self._tomb_path).select(
                 "doc_id").distinct()
             scored = scored.join(tomb, "doc_id", "left_anti")
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -568,7 +585,7 @@ class IndexReader:
         n_required = len(terms)  # strict +required: absent term → no hits
         tomb_bc = self._tomb_bc  # Broadcast handle: O(1) in the closure
         blocks = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(list(idfs)))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
@@ -617,7 +634,7 @@ class IndexReader:
             ).collect()
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -669,7 +686,7 @@ class IndexReader:
         tomb_bc = self._tomb_bc
         n_required = {qid: len(ts) for qid, ts in q_terms.items()}
         blocks = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(live_terms))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
@@ -692,22 +709,26 @@ class IndexReader:
                 return empty
             for t in by_term:
                 by_term[t].sort(key=lambda r: r["first_doc_id"])
+            # decode each term's blocks ONCE for the whole query set (the
+            # per-query cursor construction re-decoded shared terms |Q|
+            # times); every query then scores through the vectorized exact
+            # kernel over the shared arrays — identical hits to the cursor
+            # walks (same fold order: ascending term, same masks/tie-break)
+            arrs = {t: _decode_term_arrays(bl) for t, bl in by_term.items()}
             out_q, out_d, out_s = [], [], []
             for qid, ts in q_terms.items():
-                # fresh cursors per query (positions are per-walk state;
-                # the underlying block rows are shared, decode is lazy)
-                cursors = [
-                    _Cursor(t, idfs[t], by_term[t], avgdl)
-                    for t in ts if t in by_term
-                ]
-                if not cursors:
+                present = [t for t in ts if t in arrs]  # ts sorted asc
+                if not present:
                     continue
+                units = [(idfs[t], *arrs[t]) for t in present]
                 if mode == "and":
-                    hits = _and_topk(cursors, k, n_required[qid],
+                    if len(present) < n_required[qid]:
+                        continue  # a required term has no postings here
+                    hits = _vec_topk([[u] for u in units], [], k, avgdl,
                                      deleted=tomb_bc.value, allowed=allow)
                 else:
-                    hits = _wand_topk(cursors, k, deleted=tomb_bc.value,
-                                      allowed=allow)
+                    hits = _vec_topk([], units, k, avgdl,
+                                     deleted=tomb_bc.value, allowed=allow)
                 for d, s in hits:
                     out_q.append(qid)
                     out_d.append(d)
@@ -723,7 +744,7 @@ class IndexReader:
             )
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -775,7 +796,7 @@ class IndexReader:
         callers return their empty shape."""
         terms = sorted(set(tokenize(query))) if query not in ("", "*:*") \
             else []
-        docmeta = self.spark.read.parquet(self.paths.docstore)
+        docmeta = self._read(self.paths.docstore)
         if where is not None:
             docmeta = docmeta.filter(where)
         docmeta = docmeta.select(
@@ -791,7 +812,7 @@ class IndexReader:
             return None
         n_req = len(terms)
         blocks = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(sorted(stats)))
             .select("part", "term", "ids_bin")
         )
@@ -911,8 +932,8 @@ class IndexReader:
         "interesting" terms — tf(term in doc) · idf(term), Lucene MLT's
         default scorer, ties broken (score desc, term asc), terms absent
         from the index or below ``min_tf`` dropped — then run the standard
-        OR-mode BM25 search with them. ``exclude_doc_id`` removes the
-        source doc via the fq path (Solr MLT never returns the seed).
+        OR-mode BM25 search with them. ``exclude_doc_id`` drops the seed
+        from a k+1 overfetch (Solr MLT never returns the seed).
 
         The seed analysis is a driver-side tokenize of ONE document plus
         one termstats scan (df for the seed's distinct terms); the search
@@ -965,7 +986,7 @@ class IndexReader:
         out_schema = "term string, df long, dist int"
         if not q:
             return self.spark.createDataFrame([], out_schema)
-        ts = self.spark.read.parquet(self.paths.termstats)
+        ts = self._read(self.paths.termstats)
         return (
             ts.select("term", "df")
             .filter(
@@ -1007,7 +1028,7 @@ class IndexReader:
         if unknown:
             cand = self.spark.createDataFrame(
                 [(t,) for t in unknown], "input string")
-            ts = self.spark.read.parquet(self.paths.termstats).select(
+            ts = self._read(self.paths.termstats).select(
                 "term", "df")
             w = Window.partitionBy("input").orderBy(
                 F.asc("dist"), F.desc("df"), F.asc("term"))
@@ -1064,7 +1085,7 @@ class IndexReader:
         cap = max_expansions or self.MAX_WILDCARD_EXPANSIONS
         pat = pattern.lower()
         rx = wildcard_regex(pat)
-        ts = self.spark.read.parquet(self.paths.termstats)
+        ts = self._read(self.paths.termstats)
         cond = F.col("term").rlike(rx)
         prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
         if prefix:
@@ -1094,7 +1115,7 @@ class IndexReader:
         dictionary before the JVM levenshtein kernel)."""
         cap = max_expansions or self.MAX_FUZZY_EXPANSIONS
         q = term.lower()
-        ts = self.spark.read.parquet(self.paths.termstats)
+        ts = self._read(self.paths.termstats)
         rows = (
             ts.select("term", "df")
             .filter(F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
@@ -1196,7 +1217,7 @@ class IndexReader:
 
         tomb_bc = self._tomb_bc
         blocks_df = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(fetch_terms))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
@@ -1249,7 +1270,7 @@ class IndexReader:
             ).collect()
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -1343,7 +1364,7 @@ class IndexReader:
 
         tomb_bc = self._tomb_bc
         blocks_df = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(fetch_terms))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
@@ -1382,7 +1403,7 @@ class IndexReader:
             ).collect()
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -1471,7 +1492,7 @@ class IndexReader:
 
         tomb_bc = self._tomb_bc
         blocks_df = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(fetch))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin",
@@ -1512,7 +1533,7 @@ class IndexReader:
             ).collect()
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -1647,12 +1668,12 @@ class IndexReader:
         matched = matched.select("doc_id")
         if where is not None:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("doc_id")
             )
             matched = matched.join(visible, "doc_id", "left_semi")
         if len(self.tombstones):
-            tomb = self.spark.read.parquet(
+            tomb = self._read(
                 self._tomb_path).select("doc_id").distinct()
             matched = matched.join(tomb, "doc_id", "left_anti")
         return matched
@@ -1729,7 +1750,7 @@ class IndexReader:
         tomb_bc = self._tomb_bc
         live_terms = sorted({m for _, ms, _ in group_spec for m in ms})
         blocks = (
-            self.spark.read.parquet(self.paths.blocks)
+            self._read(self.paths.blocks)
             .filter(F.col("term").isin(live_terms))
             .select("part", "term", "first_doc_id", "last_doc_id", "n",
                     "max_tf", "dl_min", "ids_bin", "tfs_bin", "dls_bin")
@@ -1772,7 +1793,7 @@ class IndexReader:
                 lambda pdf: _walk(pdf, None), schema=out_schema).collect()
         else:
             visible = (
-                self.spark.read.parquet(self.paths.docstore)
+                self._read(self.paths.docstore)
                 .filter(where).select("part", "doc_id")
             )
 
@@ -1903,7 +1924,7 @@ class IndexReader:
         spine = self.spark.range(n_buckets).select(
             (F.lit(float(start)) + F.col("id") * F.lit(float(gap))
              ).alias("bucket_start"))
-        meta = self.spark.read.parquet(self.paths.docstore).select(
+        meta = self._read(self.paths.docstore).select(
             "doc_id", field)
         bucket = (F.lit(float(start)) + F.floor(
             (F.col(field) - F.lit(float(start))) / F.lit(float(gap))
@@ -1930,7 +1951,7 @@ class IndexReader:
         """Solr stats component (``stats.field=<f>``): count/min/max/sum/
         mean of a stored numeric field over the query's full match set —
         one partial-aggregated pass, one row out."""
-        meta = self.spark.read.parquet(self.paths.docstore).select(
+        meta = self._read(self.paths.docstore).select(
             "doc_id", field)
         return (
             self.matched_docs(query, mode=mode, where=where)
@@ -1958,7 +1979,7 @@ class IndexReader:
         side of the plan no matter the dictionary size. Like Lucene
         ``docFreq``, counts are index-level and do not subtract tombstoned
         docs until a compact (COVERAGE.md notes the parity)."""
-        ts = self.spark.read.parquet(self.paths.termstats).select(
+        ts = self._read(self.paths.termstats).select(
             "term", F.col("df").cast("long").alias("df"))
         if prefix:
             ts = ts.filter(F.col("term").startswith(prefix))
@@ -2051,7 +2072,7 @@ class IndexReader:
         cdf = self.spark.createDataFrame(
             [(int(d), float(s)) for d, s in cands],
             "doc_id long, score double")
-        meta = self.spark.read.parquet(self.paths.docstore).select(
+        meta = self._read(self.paths.docstore).select(
             "doc_id", F.col(boost_field).cast("double").alias("_bf"))
         rows = (
             meta.join(F.broadcast(cdf), "doc_id")
@@ -2076,7 +2097,7 @@ class IndexReader:
         is deterministic. Declarative plan: match set ⋈ pruned docstore
         (doc_id, field) → global top-k (TakeOrdered — only k rows move).
         Returns (doc_id, <sort_by>)."""
-        meta = self.spark.read.parquet(self.paths.docstore).select(
+        meta = self._read(self.paths.docstore).select(
             "doc_id", sort_by)
         order = [F.asc(sort_by) if ascending else F.desc(sort_by),
                  F.asc("doc_id")]
@@ -2104,7 +2125,7 @@ class IndexReader:
 
         scored = self.score_exhaustive(query, k=None, mode=mode,
                                        where=where)
-        meta = self.spark.read.parquet(self.paths.docstore).select(
+        meta = self._read(self.paths.docstore).select(
             "doc_id", group_by)
         joined = scored.join(meta, "doc_id")
         w_doc = Window.partitionBy(group_by).orderBy(
@@ -2519,6 +2540,148 @@ def _in_sorted(arr: np.ndarray | None, doc: int) -> bool:
     return i < len(arr) and int(arr[i]) == doc
 
 
+# ---------------------------------------------------------------------------
+# Vectorized exact scorer (r6): the columnar twin of the cursor walks.
+#
+# The doc-at-a-time Python walks below pay interpreter cost per POSTING
+# (~µs each); for the posting volumes a part bucket holds, one numpy pass
+# over the decoded arrays is 50-100× cheaper even though it skips nothing —
+# WAND's skipping would have to prune >99% of postings to win at that cost
+# ratio, which hot/mixed query mixes never reach. Every walk below therefore
+# DISPATCHES to this kernel whenever its inputs are plain term cursors (or
+# synonym groups, which merge exactly); phrase adapters keep the cursor
+# loops (their match set depends on position verification).
+#
+# Result identity is by construction, not approximation:
+#   * contributions use the same float64 expression, and each doc's score
+#     accumulates in the SAME order as the walks (ascending term within a
+#     group/should list, groups in caller order, shoulds last) — an exact
+#     IEEE-754 left-fold match, asserted against the cursor walks in
+#     tests/test_index.py;
+#   * the masks (deleted / allowed / cursor-paging `after`) and the
+#     (score desc, doc_id asc) top-k tie-break replicate `offer()`.
+# Per-part memory is O(postings of the query's terms in the part) — the
+# same bound the decode-stream kernels already carry at scale.
+# ---------------------------------------------------------------------------
+
+def _decode_term_arrays(blocks: list) -> tuple:
+    """One term's sorted block list → (ids, tf_f64, dl_f64) arrays."""
+    ids_l, tfs_l, dls_l = [], [], []
+    for b in blocks:
+        i, t, d = unpack_block(
+            bytes(b["ids_bin"]), bytes(b["tfs_bin"]), bytes(b["dls_bin"]))
+        ids_l.append(i)
+        tfs_l.append(t)
+        dls_l.append(d)
+    return (np.concatenate(ids_l),
+            np.concatenate(tfs_l).astype(np.float64),
+            np.concatenate(dls_l).astype(np.float64))
+
+
+def _cursor_unit(c: "_Cursor") -> tuple:
+    """Decode a plain cursor's FULL block list to scoring arrays:
+    (idf, ids, tf_f64, dl_f64)."""
+    return (c.idf, *_decode_term_arrays(c.blocks))
+
+
+def _syn_unit(c: "_SynCursor") -> tuple:
+    """Merge a synonym group to one pseudo-term unit: tf at a doc is the
+    SUM of member tfs (integer-valued floats — order-independent exact),
+    dl is the doc's length (identical across members by construction)."""
+    parts = [_cursor_unit(m) for m in c.members]
+    ids_c = np.concatenate([p[1] for p in parts])
+    tfs_c = np.concatenate([p[2] for p in parts])
+    dls_c = np.concatenate([p[3] for p in parts])
+    uids, inv = np.unique(ids_c, return_inverse=True)
+    tf_sum = np.zeros(len(uids))
+    np.add.at(tf_sum, inv, tfs_c)
+    dl_u = np.zeros(len(uids))
+    dl_u[inv] = dls_c
+    return (c.idf, uids, tf_sum, dl_u)
+
+
+def _vec_topk(
+    groups: list[list[tuple]], shoulds: list[tuple], k: int, avgdl: float,
+    deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
+    after: tuple[int, float] | None = None, min_should_match: int = 0,
+    min_match: int | None = None,
+) -> list[tuple[int, float]]:
+    """Exact top-k over scoring units (see module comment above).
+
+    ``groups``: required at-least-one-of unit groups, in accumulation
+    order (members already ordered); ``shoulds``: optional units, in
+    accumulation order. ``min_match`` gates on the number of PRESENT
+    should units (the _or_topk contract); ``min_should_match`` is the
+    boolean walk's Lucene mm gate. Returns [(doc_id, score)] under
+    (score desc, doc_id asc)."""
+    all_ids = [u[1] for g in groups for u in g] + [u[1] for u in shoulds]
+    all_ids = [a for a in all_ids if len(a)]
+    if not all_ids or k <= 0:
+        return []
+    universe = np.unique(np.concatenate(all_ids))
+    score = np.zeros(len(universe))
+    ok = np.ones(len(universe), dtype=bool)
+
+    def _contrib(idf, tfs, dls):
+        # EXACTLY _Cursor.contribution()'s expression shape:
+        # idf * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return (idf * tfs) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+    for g in groups:
+        gpresent = np.zeros(len(universe), dtype=bool)
+        for (idf, ids, tfs, dls) in g:
+            idx = np.searchsorted(universe, ids)
+            score[idx] += _contrib(idf, tfs, dls)
+            gpresent[idx] = True
+        ok &= gpresent
+    scount = np.zeros(len(universe), dtype=np.int64)
+    for (idf, ids, tfs, dls) in shoulds:
+        idx = np.searchsorted(universe, ids)
+        score[idx] += _contrib(idf, tfs, dls)
+        scount[idx] += 1
+    if min_match is not None:
+        ok &= scount >= min_match
+    if min_should_match:
+        ok &= scount >= min_should_match
+    if deleted is not None and len(deleted):
+        pos = np.searchsorted(deleted, universe)
+        pos_c = np.minimum(pos, len(deleted) - 1)
+        ok &= ~((pos < len(deleted)) & (deleted[pos_c] == universe))
+    if allowed is not None:
+        if not len(allowed):
+            return []
+        pos = np.searchsorted(allowed, universe)
+        pos_c = np.minimum(pos, len(allowed) - 1)
+        ok &= (pos < len(allowed)) & (allowed[pos_c] == universe)
+    if after is not None:
+        a_doc, a_score = after
+        ok &= (score < a_score) | ((score == a_score) & (universe > a_doc))
+    cand = np.flatnonzero(ok)
+    if not len(cand):
+        return []
+    cs = score[cand]
+    order = np.lexsort((universe[cand], -cs))[:k]
+    return [(int(universe[cand[i]]), float(cs[i])) for i in order]
+
+
+def _vec_ok(cursors) -> bool:
+    return all(type(c) is _Cursor for c in cursors)
+
+
+def _vec_or_units(cursors) -> list[tuple] | None:
+    """Units for a should/OR list that may mix plain and synonym cursors
+    (ascending .term order — the walks' accumulation order); None if any
+    member is a phrase adapter (position-dependent: cursor walk only).
+    Type-checks the WHOLE list before decoding anything, so a mixed list
+    costs nothing here."""
+    if not all(type(c) in (_Cursor, _SynCursor) for c in cursors):
+        return None
+    return [
+        _cursor_unit(c) if type(c) is _Cursor else _syn_unit(c)
+        for c in sorted(cursors, key=lambda c: c.term)
+    ]
+
+
 def _and_topk(
     cursors: list[_Cursor], k: int, n_required: int,
     deleted: np.ndarray | None = None, allowed: np.ndarray | None = None,
@@ -2534,6 +2697,13 @@ def _and_topk(
     page's last ``(doc_id, score)`` hit (see :func:`_wand_topk`)."""
     if k <= 0 or n_required <= 0 or len(cursors) < n_required:
         return []
+    if _vec_ok(cursors):
+        # conjunctive = every term its own required singleton group, in
+        # ascending-term order (the walk's per-doc summation order)
+        groups = [[_cursor_unit(c)]
+                  for c in sorted(cursors, key=lambda c: c.term)]
+        return _vec_topk(groups, [], k, cursors[0].avgdl,
+                         deleted=deleted, allowed=allowed, after=after)
     heap: list[tuple[float, int]] = []
     after_item = (after[1], -after[0]) if after is not None else None
 
@@ -2588,6 +2758,14 @@ def _boolean_topk(
         return []
     if min_should_match > len(should):
         return []  # fewer optional clauses than required matches
+    if _vec_ok(must) and _vec_ok(should):
+        groups = [[_cursor_unit(c)]
+                  for c in sorted(must, key=lambda c: c.term)]
+        shoulds = [_cursor_unit(c)
+                   for c in sorted(should, key=lambda c: c.term)]
+        return _vec_topk(groups, shoulds, k, must[0].avgdl,
+                         deleted=deleted, allowed=allowed,
+                         min_should_match=min_should_match)
     heap: list[tuple[float, int]] = []
 
     def offer(doc: int, score: float) -> None:
@@ -2652,6 +2830,14 @@ def _grouped_topk(
     Same (score desc, doc_id asc) tie-break as every walk."""
     if k <= 0 or not groups or any(not g for g in groups):
         return []
+    if all(_vec_ok(g) for g in groups) and _vec_ok(should):
+        # groups in caller order, members ascending-term within each, then
+        # should riders ascending-term — the walk's exact summation order
+        vg = [[_cursor_unit(c) for c in sorted(g, key=lambda c: c.term)]
+              for g in groups]
+        vs = [_cursor_unit(c) for c in sorted(should, key=lambda c: c.term)]
+        return _vec_topk(vg, vs, k, groups[0][0].avgdl,
+                         deleted=deleted, allowed=allowed)
     heap: list[tuple[float, int]] = []
 
     def offer(doc: int, score: float) -> None:
@@ -2720,6 +2906,11 @@ def _or_topk(
     scorer's."""
     if k <= 0 or min_match > len(cursors):
         return []
+    units = _vec_or_units(cursors) if cursors else []
+    if units is not None:
+        return _vec_topk([], units, k, cursors[0].avgdl if cursors else 0.0,
+                         deleted=deleted, allowed=allowed, after=after,
+                         min_match=min_match)
     heap: list[tuple[float, int]] = []
     after_item = (after[1], -after[0]) if after is not None else None
 
@@ -3000,6 +3191,11 @@ def _wand_topk(
     """
     if k <= 0:
         return []
+    if _vec_ok(cursors):
+        units = [_cursor_unit(c)
+                 for c in sorted(cursors, key=lambda c: c.term)]
+        return _vec_topk([], units, k, cursors[0].avgdl if cursors else 0.0,
+                         deleted=deleted, allowed=allowed, after=after)
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     after_item = (after[1], -after[0]) if after is not None else None
 

@@ -191,15 +191,28 @@ def q_resolve_join(spark, sf):
 
 
 def q_multi_join_topk(spark, sf):
-    """TPC-H Q3 shape: 3-way join → agg → deterministic top-k."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem")
+    """TPC-H Q3 shape: 3-way join → agg → deterministic top-k.
+
+    r6 plan shape (guide §2.3 "aggregate before you shuffle"): revenue is
+    partially aggregated per l_orderkey BEFORE any join, so the shuffle
+    carries one row per order key instead of every line item; the
+    orders⋈customer side reduces to the surviving key set first (both key
+    columns are unique — TPC-H primary keys — so the join is a pure
+    filter and the aggregate commutes with it; result-identical to the
+    join-first plan, which the oracle still states verbatim). At bench
+    scale AQE then broadcasts the key set so the aggregated side never
+    shuffles for the join; at cluster scale it degrades to a hash join of
+    two already-reduced relations."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    keep = o.join(c, o["o_custkey"] == c["c_custkey"]).select("o_orderkey")
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        rev.join(keep, rev["l_orderkey"] == keep["o_orderkey"])
+        .select("o_orderkey", F.round("_rev", 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -227,9 +240,11 @@ def q_events_tumbling(spark, sf):
 # --------------------------------------------------------------------------
 
 def _doc_tokens(spark, sf):
-    from .textops import tokens_col
+    from .textops import spread_partitions, tokens_col
 
-    return load(spark, sf, "documents").select(
+    # spread: the single-file documents source plans 1-2 scan partitions,
+    # serializing the tokenizer; a no-op on wide cluster scans
+    return spread_partitions(load(spark, sf, "documents"), "doc_id").select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     )
 
@@ -367,13 +382,31 @@ def _index_for(spark, sf, positional: bool = False):
     return _INDEX_CACHE[key]
 
 
+_READER_CACHE: dict[tuple[int, str], "object"] = {}
+
+
+def _reader_for(spark, sf, positional: bool = False):
+    """One IndexReader per cached index directory (r6): the shared
+    ``_index_for`` index is immutable for the session (mutation entries
+    build their own temp copies), so the reader's startup jobs (stats
+    collect, tombstone probe/broadcast) and its per-table relation cache
+    are paid once instead of per query call."""
+    from .index.bm25 import IndexReader
+
+    d = _index_for(spark, sf, positional)
+    key = (id(spark), d)
+    if key not in _READER_CACHE:
+        _READER_CACHE[key] = IndexReader(spark, d)
+    return _READER_CACHE[key]
+
+
 def q_bm25_topk_wand(spark, sf):
     """Q-9 end-to-end through the REAL engine: on-disk blocks + block-max
     WAND top-10, oracle-checked against a from-scratch SQL BM25 (rounded
     scores; ties broken by doc_id in both engines)."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_wand(" ".join(BM25_QUERY_TERMS), 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -387,7 +420,7 @@ def q_bm25_topk_wand_dist(spark, sf):
     driver). Oracle: the same from-scratch SQL BM25 top-10."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_wand_distributed(" ".join(BM25_QUERY_TERMS), 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -401,7 +434,7 @@ def q_bm25_topk_and(spark, sf):
     matched-terms = |index-present query terms| clause."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_wand("table query filter", 10, mode="and")
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -420,7 +453,7 @@ def q_bm25_topk_phrase(spark, sf):
     shifted position self-join)."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf, positional=True))
+    reader = _reader_for(spark, sf, positional=True)
     hits = reader.search_phrase(PHRASE_QUERY, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -483,7 +516,7 @@ def q_bm25_topk_filtered(spark, sf):
     predicate on the final selection."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_wand_distributed(
         " ".join(BM25_QUERY_TERMS), 10, where="doc_id % 3 = 0"
     )
@@ -735,7 +768,7 @@ def q_bm25_batch(spark, sf):
     (test_index); oracle: per-query from-scratch SQL BM25, UNION ALL."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     out = reader.search_many(
         {"q1": " ".join(BM25_QUERY_TERMS), "q2": "data spark query"}, 10
     )
@@ -752,7 +785,7 @@ def q_bm25_facets(spark, sf):
     final agg. Oracle: DuckDB match-set + melt + QUALIFY top-N."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.facet_counts(
         " ".join(BM25_QUERY_TERMS), ["lang", "source"], top=5)
 
@@ -764,7 +797,7 @@ def q_facet_browse(spark, sf):
     degenerate path + where + top-N truncation."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.facet_counts(
         "*:*", ["lang", "source"], where="doc_id % 3 = 0", top=3)
 
@@ -775,7 +808,7 @@ MLT_SEED_DOC = 42
 def q_bm25_mlt(spark, sf):
     """Solr/Lucene MoreLikeThis: seed doc 42's top-10 interesting terms by
     tf·idf (ties term-asc), then the standard OR-mode BM25 search with the
-    seed excluded via the fq path. Oracle: full DuckDB restatement —
+    seed dropped from a k+1 overfetch. Oracle: full DuckDB restatement —
     interesting-term selection AND the downstream BM25 — so the term
     choice itself is oracle-checked, not just the final ranking."""
     from .index.bm25 import IndexReader
@@ -785,7 +818,7 @@ def q_bm25_mlt(spark, sf):
         .filter(F.col("doc_id") == MLT_SEED_DOC)
         .select("text").collect()[0]["text"]
     )
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.more_like_this(
         seed_text, 10, m_terms=10, exclude_doc_id=MLT_SEED_DOC)
     return spark.createDataFrame(
@@ -803,7 +836,7 @@ def q_bm25_highlight(spark, sf):
     from .index.bm25 import IndexReader
 
     q = " ".join(BM25_QUERY_TERMS)
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = spark.createDataFrame(
         [(int(d), float(s)) for d, s in reader.search_wand(q, 10)],
         "doc_id long, score double")
@@ -824,7 +857,7 @@ def q_bm25_boolean(spark, sf):
     from-scratch DuckDB restatement with (term, boost, required) rows."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_lucene(LUCENE_QUERY, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -838,7 +871,7 @@ def q_bm25_sort_field(spark, sf):
     ORDER BY n_chars, doc_id."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.search_sorted(
         " ".join(BM25_QUERY_TERMS), "n_chars", ascending=True, k=10)
 
@@ -849,7 +882,7 @@ def q_bm25_grouped(spark, sf):
     doc's score. Oracle: the same BM25 score CTE + two window ranks."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     out = reader.search_grouped(
         " ".join(BM25_QUERY_TERMS), "lang", k_groups=3, k_per_group=2)
     return out.select(
@@ -862,7 +895,7 @@ def q_facet_range(spark, sf):
     Oracle: DuckDB generate_series spine + floor-bucket counts."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.facet_range(
         " ".join(BM25_QUERY_TERMS), "n_chars", 0, 2000, 250)
 
@@ -872,7 +905,7 @@ def q_field_stats(spark, sf):
     match set — one aggregated pass."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.field_stats(" ".join(BM25_QUERY_TERMS), "n_chars")
 
 
@@ -893,7 +926,7 @@ def q_bm25_wildcard(spark, sf):
     contributing its own idf)."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_lucene(WILDCARD_QUERY, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -909,7 +942,7 @@ def q_bm25_fuzzy(spark, sf):
     distance) and the OR BM25 over the expanded ∪ literal term set."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_lucene(FUZZY_QUERY, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -926,7 +959,7 @@ def q_bm25_phrase_slop(spark, sf):
     width ≤ slop."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf, positional=True))
+    reader = _reader_for(spark, sf, positional=True)
     hits = reader.search_lucene(SLOP_QUERY, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -948,7 +981,7 @@ def q_bm25_lucene_mixed(spark, sf):
     exclusion set from scratch."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf, positional=True))
+    reader = _reader_for(spark, sf, positional=True)
     hits = reader.search_lucene(MIXED_QUERY, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -963,7 +996,7 @@ def q_bm25_min_should(spark, sf):
     BM25 with a HAVING matched-terms ≥ 2 gate."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_boolean(
         [], ["window", "shuffle", "join"], [], k=10, min_should_match=2)
     return spark.createDataFrame(
@@ -982,7 +1015,7 @@ def q_spell_suggest(spark, sf):
     corpus-recomputed df + levenshtein with the identical ranking."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.suggest(MISSPELLED, max_dist=2, top=5)
 
 
@@ -997,7 +1030,7 @@ def q_bm25_cursor_page2(spark, sf):
     OFFSET 10."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     q = " ".join(BM25_QUERY_TERMS)
     page1 = reader.search_wand(q, 10)
     assert page1, "page 1 empty — cursor test needs matches"
@@ -1019,7 +1052,7 @@ def q_terms_component(spark, sf):
     recount from the raw corpus."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.terms(TERMS_PREFIX, limit=4)
 
 
@@ -1031,7 +1064,7 @@ def q_facet_pivot(spark, sf):
     DuckDB match set + two-level GROUP BY + QUALIFY per-parent top-N."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     return reader.facet_pivot(
         " ".join(BM25_QUERY_TERMS), ["lang", "source"], top=3)
 
@@ -1049,7 +1082,7 @@ def q_bm25_rerank(spark, sf):
     restatement — SQL BM25 top-30 window, then the boosted re-sort."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_reranked(
         " ".join(BM25_QUERY_TERMS), 10, rerank_k=RERANK_K,
         boost_field="n_chars", boost_weight=RERANK_WEIGHT)
@@ -1070,7 +1103,7 @@ def q_bm25_collated(spark, sf):
     from-scratch SQL BM25 over the corrected terms."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     collated, hits = reader.search_collated(COLLATE_QUERY, 10)
     return spark.createDataFrame(
         [(collated, int(d), float(s)) for d, s in hits],
@@ -1085,7 +1118,7 @@ def q_facet_queries(spark, sf):
     match-set counts UNION ALL."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     both = reader.facet_queries(
         {"any_window_join": "window join", "missing": "zzznotaword"})
     conj = reader.facet_queries({"both_sort_hash": "sort hash"}, mode="and")
@@ -1166,7 +1199,7 @@ def q_bm25_synonyms(spark, sf):
     indexed member. Oracle: grouped-tf/max-df SQL BM25."""
     from .index.bm25 import IndexReader
 
-    reader = IndexReader(spark, _index_for(spark, sf))
+    reader = _reader_for(spark, sf)
     hits = reader.search_synonyms_distributed("fast sort", SYNONYMS, 10)
     return spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"

@@ -2136,3 +2136,41 @@ def test_sql_surface_facets(spark, facet_index_dir):
     with pytest.raises((PythonException, Py4JJavaError)):
         spark.sql("SELECT * FROM bm25_f_facets('zeta', 'lang', 5, 'bad')"
                   ).collect()
+
+
+def test_vectorized_walks_bit_identical_to_cursor_walks(spark, index_dir, monkeypatch):
+    """r6 optimization guard: every walk's vectorized exact kernel must
+    return byte-identical (doc, score) lists to the doc-at-a-time cursor
+    loops it dispatches away from — same float sums (exact left-fold
+    order), same masks, same (score desc, doc_id asc) tie-break."""
+    import rdf_indexer_spark.index.bm25 as bm25
+    from rdf_indexer_spark.index.bm25 import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    # fq + cursor paging through the public API
+    page1 = reader.search_wand("alpha beta", 3)
+    assert page1
+
+    def run_all():
+        out = []
+        out.append(reader.search_wand("alpha beta", 5))
+        out.append(reader.search_wand("alpha beta", 5, mode="and"))
+        out.append(reader.search_wand("the alpha gamma needle", 7))
+        out.append(reader.search_wand("alpha", 5, where="doc_id % 2 = 0"))
+        out.append(reader.search_wand("alpha beta", 5, after=page1[-1]))
+        out.append(reader.search_boolean(
+            ["alpha"], ["beta", "gamma"], ["needle"], k=5,
+            boosts={"beta": 2.0}))
+        out.append(reader.search_boolean(
+            [], ["alpha", "beta", "gamma"], [], k=5, min_should_match=2))
+        out.append(reader.search_lucene("+w1* alpha", 5))
+        out.append(reader.search_synonyms(
+            "alpha", {"alpha": ["beta"]}, 5))
+        return out
+
+    vec = run_all()
+    monkeypatch.setattr(bm25, "_vec_ok", lambda cursors: False)
+    monkeypatch.setattr(bm25, "_vec_or_units", lambda cursors: None)
+    legacy = run_all()
+    assert vec == legacy
+    assert any(len(v) > 0 for v in vec)

@@ -247,7 +247,9 @@ def test_deterministic_and_pinned():
     diff = np.abs(a.astype(np.int16) - ref.astype(np.int16))
     assert diff.max() <= 1, diff.max()  # ulp-at-rounding-boundary only
     frac = (diff != 0).mean()
-    assert frac <= 0.05, frac  # and only at rounding boundaries
+    # ADVICE r5: 0.05 let a sparse ±1 decoder regression pass silently;
+    # BLAS rounding drift across hosts touches well under 1% of pixels
+    assert frac <= 0.01, frac  # and only at rounding boundaries
 
 
 def test_byte_stuffing_roundtrip():
