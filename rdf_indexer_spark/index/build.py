@@ -360,8 +360,6 @@ def build_index(
         # parallel job.
         docstore_df = enriched.drop("toks")
         _noop("docstore_lineage_noop", docstore_df)
-        _timed("docstore_write",
-               lambda: writer.append_partitioned(docstore_df, paths.docstore))
 
         # postings: map-side partial agg collapses duplicate (term, doc)
         # pairs before the shuffle; the aligned repartition then clusters
@@ -391,6 +389,8 @@ def build_index(
         # persisted as the postings table and packed from the files (read
         # back with splitting disabled so no group straddles a task).
         if write_postings:
+            _timed("docstore_write",
+                   lambda: writer.append_partitioned(docstore_df, paths.docstore))
             _timed("postings_write",
                    lambda: writer.append_partitioned(postings, paths.postings))
             old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -410,8 +410,29 @@ def build_index(
             # delta attributes the pack kernel separately from the shuffle
             _noop("postings_lineage_noop", postings)
             _noop("blocks_lineage_noop", blocks)
-            _timed("blocks_write",
-                   lambda: writer.append_partitioned(blocks, paths.blocks))
+            if profile is None:
+                # The docstore job and the postings→pack→blocks job are
+                # INDEPENDENT (separate sinks, both recompute from the
+                # source scan) — submit them from two driver threads so
+                # the second job's tasks back-fill executors freed by the
+                # first job's straggler tail (guide §2.6); Spark's FIFO
+                # scheduler gives the earlier job priority, which is
+                # exactly the back-fill behaviour wanted. Profile mode
+                # keeps them sequential so substage attribution holds.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_doc = pool.submit(
+                        writer.append_partitioned, docstore_df, paths.docstore)
+                    f_blk = pool.submit(
+                        writer.append_partitioned, blocks, paths.blocks)
+                    f_doc.result()
+                    f_blk.result()
+            else:
+                _timed("docstore_write",
+                       lambda: writer.append_partitioned(docstore_df, paths.docstore))
+                _timed("blocks_write",
+                       lambda: writer.append_partitioned(blocks, paths.blocks))
 
         doc_m, post_m = _timed(
             "metrics_scan", lambda: _group_metrics(spark, paths, group))
@@ -437,7 +458,6 @@ def build_index(
             [(int(n), (float(tot) / n) if n else 0.0, int(tot))],
             "n_docs long, avgdl double, total_tokens long",
         )
-        writer.overwrite(stats, paths.stats, coalesce=1)
         # term statistics from block metadata (df = Σ n, cf = Σ tf_sum,
         # bytes = Σ bin_bytes) — no dependence on the optional postings
         # table, and no binary columns read (bin_bytes is metadata)
@@ -447,7 +467,14 @@ def build_index(
             .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"),
                  F.sum("bin_bytes").alias("bytes"))
         )
-        writer.overwrite(termstats, paths.termstats)
+        # independent sinks — overlap the two finalize writes (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_st = pool.submit(writer.overwrite, stats, paths.stats, coalesce=1)
+            f_ts = pool.submit(writer.overwrite, termstats, paths.termstats)
+            f_st.result()
+            f_ts.result()
         writer.commit("finalize", "stats")
     if profile is not None:
         profile["finalize"] = profile.get("finalize", 0.0) + (
@@ -464,32 +491,43 @@ def _group_metrics(
     checksum) per bucket from the docstore; posting counts per bucket from
     block metadata. Both scans prune to the group's hive partitions and to
     3 / 2 columns — short fully-parallel jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     part_in = F.col("part").isin(group)
     sha_num = F.conv(
         F.substring("content_sha256", 1, 15), 16, 10
     ).cast("decimal(38,0)")
-    doc_rows = (
-        spark.read.parquet(paths.docstore)
-        .filter(part_in)
-        .groupBy("part")
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum("dl").alias("tokens"),
-            F.sum(sha_num).alias("sha"),
+
+    def _doc_rows():
+        return (
+            spark.read.parquet(paths.docstore)
+            .filter(part_in)
+            .groupBy("part")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("dl").alias("tokens"),
+                F.sum(sha_num).alias("sha"),
+            )
+            .collect()
         )
-        .collect()
-    )
+
+    def _post_rows():
+        return (
+            spark.read.parquet(paths.blocks)
+            .filter(part_in)
+            .groupBy("part")
+            .agg(F.sum("n").alias("np"))
+            .collect()
+        )
+
+    # two independent metadata scans — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_doc, f_post = pool.submit(_doc_rows), pool.submit(_post_rows)
+        doc_rows, post_rows = f_doc.result(), f_post.result()
     doc_m = {
         r["part"]: {"rows": r["rows"], "tokens": r["tokens"], "sha": r["sha"]}
         for r in doc_rows
     }
-    post_rows = (
-        spark.read.parquet(paths.blocks)
-        .filter(part_in)
-        .groupBy("part")
-        .agg(F.sum("n").alias("np"))
-        .collect()
-    )
     return doc_m, {r["part"]: r["np"] for r in post_rows}
 
 

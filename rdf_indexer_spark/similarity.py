@@ -663,10 +663,19 @@ def ivf_recall_at_k(
                                      id_col=id_col, vec_col=vec_col)
     if index_df is None:
         index_df = ivf_index(df, centroids, id_col=id_col, vec_col=vec_col)
-    cell_sizes = {
-        r["cell"]: r["n"]
-        for r in index_df.groupBy("cell").agg(F.count("*").alias("n")).collect()
-    }
+    # memoized on the DataFrame object: the bench/recall loops call this
+    # once per nprobe with the SAME (persisted) index relation, and the
+    # cell histogram is a pure function of it
+    cell_sizes = getattr(index_df, "_ivf_cell_sizes", None)
+    if cell_sizes is None:
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in index_df.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        try:
+            index_df._ivf_cell_sizes = cell_sizes
+        except AttributeError:
+            pass
     n_total = sum(cell_sizes.values())
     probed = 0
     for _, qvec in queries:
