@@ -89,6 +89,64 @@ class IndexPaths:
         return os.path.join(self.root, "manifest")
 
 
+def _emit_postings(positions: bool):
+    """mapInPandas kernel: (part, doc_id, dl, toks) rows → FINISHED posting
+    rows (part, term, doc_id, dl, tf[, positions]) — the r6 replacement for
+    ``explode → groupBy(part, term, doc_id).agg(...)``.
+
+    Because a posting aggregates tokens of ONE document, the whole
+    aggregation is row-local: batch-vectorized numpy (factorize the batch
+    vocabulary once, lexsort (doc, term-code, position), group boundaries
+    by diff) produces exactly the rows the groupBy produced — verified
+    row-identical — while REMOVING the aggregation exchange from the plan:
+    the only remaining shuffle in the build is the part-aligned repartition
+    (guide §2.4). The positional variant gets its sorted position lists for
+    free from the lexsort (the old plan paid a collect_list + sort_array
+    aggregate buffer per posting)."""
+
+    def emit(batches):
+        for pdf in batches:
+            toks_l = pdf["toks"].values
+            n_per = np.fromiter((len(t) for t in toks_l), np.int64,
+                                count=len(toks_l))
+            total = int(n_per.sum())
+            if total == 0:
+                continue
+            flat = [w for t in toks_l for w in t]
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            doc_idx = np.repeat(np.arange(len(toks_l)), n_per)
+            offs = np.concatenate(([0], np.cumsum(n_per)))
+            pos = np.arange(total, dtype=np.int64) - offs[doc_idx]
+            order = np.lexsort((pos, codes, doc_idx))
+            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+            if len(d_s) > 1:
+                bound = np.flatnonzero(
+                    (np.diff(d_s) != 0) | (np.diff(c_s) != 0)) + 1
+            else:
+                bound = np.array([], dtype=np.int64)
+            starts = np.concatenate(([0], bound))
+            ends = np.concatenate((bound, [len(d_s)]))
+            g_doc = d_s[starts]
+            out = {
+                "part": pdf["part"].values[g_doc],
+                "term": uniq[c_s[starts]],
+                "doc_id": pdf["doc_id"].values[g_doc],
+                "dl": pdf["dl"].values[g_doc],
+                "tf": (ends - starts).astype(np.int64),
+            }
+            if positions:
+                out["positions"] = [
+                    p.astype(np.int32).tolist() for p in np.split(p_s, bound)
+                ]
+            yield pd.DataFrame(out)
+
+    return emit
+
+
+POSTINGS_SCHEMA = "part int, term string, doc_id long, dl int, tf long"
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", positions array<int>"
+
+
 def _pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Pack one (part, term, doc_id)-sorted batch whose (part, term) groups
     are complete — vectorized across ALL groups and blocks at once.
@@ -361,26 +419,21 @@ def build_index(
         docstore_df = enriched.drop("toks")
         _noop("docstore_lineage_noop", docstore_df)
 
-        # postings: map-side partial agg collapses duplicate (term, doc)
-        # pairs before the shuffle; the aligned repartition then clusters
-        # each task onto one (part, term-stripe) and the in-partition sort
-        # makes every (part, term) group contiguous — which lets BOTH the
-        # postings files (term-sorted → parquet row-group pruning) and the
-        # block packer reuse this single shuffle.
-        if positions:
-            exploded = enriched.select(
-                "part", "doc_id", "dl",
-                F.posexplode("toks").alias("tok_pos", "term"),
-            )
-            aggs = [F.count("*").alias("tf"),
-                    F.sort_array(F.collect_list("tok_pos")).alias("positions")]
-        else:
-            exploded = enriched.select(
-                "part", "doc_id", "dl", F.explode("toks").alias("term"))
-            aggs = [F.count("*").alias("tf")]
+        # postings: the per-doc (term, tf[, positions]) aggregation is
+        # row-local, so it runs inside the narrow Arrow emitter
+        # (_emit_postings — row-identical to the old explode + groupBy,
+        # with the aggregation EXCHANGE removed from the plan); the aligned
+        # repartition is then the build's ONLY shuffle — it clusters each
+        # task onto one (part, term-stripe) and the in-partition sort makes
+        # every (part, term) group contiguous, which lets BOTH the postings
+        # files (term-sorted → parquet row-group pruning) and the block
+        # packer reuse it.
+        emitted = enriched.select("part", "doc_id", "dl", "toks").mapInPandas(
+            _emit_postings(positions),
+            schema=POSTINGS_POS_SCHEMA if positions else POSTINGS_SCHEMA,
+        )
         postings = _part_aligned(
-            exploded.groupBy("part", "term", "doc_id", "dl").agg(*aggs),
-            F.xxhash64("term"),
+            emitted, F.xxhash64("term"),
         ).sortWithinPartitions("part", "term", "doc_id")
 
         # Block packing is NARROW from here: every (part, term) group is a

@@ -391,6 +391,30 @@ def lsh_topk_batch(
     )
 
 
+def _query_vectors(df: DataFrame, n_queries: int, id_col: str,
+                   vec_col: str) -> list[tuple[int, list[float]]]:
+    """First-``n_queries`` query vectors, memoized on the DataFrame object:
+    the recall loops call the same (persisted) corpus relation once per
+    parameter point, and the query set is a pure function of it."""
+    key = (id_col, vec_col, n_queries)
+    cache = getattr(df, "_query_vec_cache", None)
+    if cache is not None and key in cache:
+        return cache[key]
+    rows = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    queries = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in rows]
+    try:
+        if cache is None:
+            cache = df._query_vec_cache = {}
+        cache[key] = queries
+    except AttributeError:
+        pass
+    return queries
+
+
 def _mean_recall(got: DataFrame, want: DataFrame):
     """Mean per-query recall of ``got`` vs the exact ``want`` top-k.
 
@@ -458,12 +482,7 @@ def lsh_recall_at_k(
     :func:`cosine_topk_batch` shared across several recall calls) so the
     brute-force pass isn't re-run per call. ``timings``: see
     :func:`_timed_recall`."""
-    rows = (
-        df.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .collect()
-    )
-    queries = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in rows]
+    queries = _query_vectors(df, n_queries, id_col, vec_col)
     if not queries:
         raise ValueError(
             f"no query vectors found: no rows with {id_col} < {n_queries}"
@@ -646,12 +665,7 @@ def ivf_recall_at_k(
     re-runs the brute-force oracle — the r4 bench paid that 3×);
     ``timings`` as in :func:`_timed_recall`.
     Returns {"recall": float, "probed_fraction": float}."""
-    rows = (
-        df.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .collect()
-    )
-    queries = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in rows]
+    queries = _query_vectors(df, n_queries, id_col, vec_col)
     if not queries:
         raise ValueError(
             f"no query vectors found: no rows with {id_col} < {n_queries}"
