@@ -558,10 +558,11 @@ class IndexReader:
         where: str | None = None, _idfs: dict[str, float] | None = None,
         after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
-        """Block-max WAND with the cursor walk on the executors.
+        """Distributed exact top-k with the scorer on the executors.
 
         One ``applyInPandas`` group per index ``part`` bucket (disjoint doc-id
-        ranges), local exact top-k per bucket, driver k-way merge of
+        ranges), local exact top-k per bucket (the vectorized kernel via
+        ``_wand_topk``'s dispatch), driver k-way merge of
         ≤ parts·k rows. Rank- and score-identical to :meth:`search_wand`.
         ``mode="and"`` = conjunctive leapfrog per bucket (a bucket missing a
         term's postings matches nothing — exact).
@@ -3173,10 +3174,16 @@ def _wand_topk(
     allowed: np.ndarray | None = None,
     after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
-    """Block-max WAND: exact top-k under (score desc, doc_id asc).
+    """Exact disjunctive top-k under (score desc, doc_id asc).
 
-    Pruning uses strict ``ub < θ`` so boundary ties are always evaluated —
-    exactness over marginal pruning (SURVEY.md §4.3.3 correctness guard).
+    Plain term cursors dispatch to the vectorized exact scorer
+    (``_vec_topk`` — r6: one columnar pass beats per-posting interpreted
+    skipping by ~2 orders of magnitude at any realistic selectivity);
+    non-plain cursor mixes run the block-max WAND loop below. Either way
+    the result is the exact top-k: WAND's pruning uses strict ``ub < θ``
+    so boundary ties are always evaluated — exactness over marginal
+    pruning (SURVEY.md §4.3.3 correctness guard) — and the kernel skips
+    nothing at all.
 
     ``deleted``: sorted tombstoned doc_ids (Lucene deleted-docs visibility
     filter) — tombstoned docs are evaluated but never admitted to the heap.

@@ -418,23 +418,29 @@ def _query_vectors(df: DataFrame, n_queries: int, id_col: str,
 def _mean_recall(got: DataFrame, want: DataFrame):
     """Mean per-query recall of ``got`` vs the exact ``want`` top-k.
 
-    LEFT join from the want side (ADVICE r3): the exact oracle populates
+    Averaged from the WANT side (ADVICE r3): the exact oracle populates
     every query, but an ANN index whose probed cells yield ZERO candidates
-    drops the query from ``got`` entirely — an inner join would silently
-    exclude it from the average, biasing recall upward exactly when the
-    index performs worst. Missing queries count as recall 0."""
-    g = got.groupBy("query_id").agg(F.collect_set("vec_id").alias("got"))
-    wnt = want.groupBy("query_id").agg(F.collect_set("vec_id").alias("want"))
-    # explicit isNull guard (not coalesce over size(): size(NULL) is -1
-    # under spark.sql.legacy.sizeOfNull, which would make missing queries
-    # SUBTRACT from the average instead of counting 0)
-    hit = F.when(
-        F.col("got").isNull(), F.lit(0)
-    ).otherwise(F.size(F.array_intersect("got", "want")))
-    per_q = wnt.join(g, "query_id", "left").select(
-        (hit / F.size("want")).alias("r")
-    )
-    return per_q.agg(F.avg("r")).collect()[0][0]
+    drops the query from ``got`` entirely — ignoring those would silently
+    bias recall upward exactly when the index performs worst. Missing
+    queries count as recall 0.
+
+    r6: both relations are ≤ n_queries·k rows by construction (top-k per
+    query), so the per-query set math runs on the driver over two collects
+    instead of a multi-stage groupBy/join/avg Spark job — the collect of
+    ``got`` IS the index-path execution being measured; everything after
+    it is O(n_queries·k) python."""
+    g_sets: dict[int, set] = {}
+    for r in got.select("query_id", "vec_id").collect():
+        g_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    w_sets: dict[int, set] = {}
+    for r in want.select("query_id", "vec_id").collect():
+        w_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    if not w_sets:
+        return None
+    per_q = [
+        len(g_sets.get(q, set()) & w) / len(w) for q, w in w_sets.items()
+    ]
+    return sum(per_q) / len(per_q)
 
 
 def _timed_recall(got: DataFrame, want: DataFrame, oracle_given: bool,
