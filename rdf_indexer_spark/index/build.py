@@ -507,9 +507,15 @@ def build_index(
         # serial cost in the scaling measurements)
         s = manifest.summary()
         n, tot = s["rows"], s["tokens"]
-        stats = spark.createDataFrame(
-            [(int(n), (float(tot) / n) if n else 0.0, int(tot))],
-            "n_docs long, avgdl double, total_tokens long",
+        # one-partition JVM-side literal row — NOT createDataFrame([...]):
+        # that parallelizes the list over defaultParallelism Python-backed
+        # slices, and the coalesce(1) write then evaluates all of them
+        # SERIALLY in one task (measured 4-6 s for this one row at 32
+        # cores; this form writes in ~0.3 s)
+        stats = spark.range(1).select(
+            F.lit(int(n)).cast("long").alias("n_docs"),
+            F.lit((float(tot) / n) if n else 0.0).alias("avgdl"),
+            F.lit(int(tot)).cast("long").alias("total_tokens"),
         )
         # term statistics from block metadata (df = Σ n, cf = Σ tf_sum,
         # bytes = Σ bin_bytes) — no dependence on the optional postings

@@ -37,6 +37,17 @@ from .manifest import Manifest
 from .writer import IndexWriter
 
 
+def _stats_row(spark, n_docs: int, avgdl: float, total_tokens: int):
+    """One-partition JVM-side stats row — createDataFrame([...]) would
+    parallelize over defaultParallelism Python-backed slices and the
+    coalesce(1) write would then evaluate them serially in one task
+    (see build.py finalize)."""
+    return spark.range(1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(float(avgdl)).alias("avgdl"),
+        F.lit(int(total_tokens)).cast("long").alias("total_tokens"),
+    )
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     """Tombstone the given doc ids (list[int] or a DataFrame with a
     ``doc_id`` column). Idempotent; returns the total tombstone count."""
@@ -228,11 +239,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         F.count("*").alias("n"), F.sum("dl").alias("tt")).collect()[0]
     n_docs, total_tokens = int(row["n"]), int(row["tt"] or 0)
     writer.overwrite(
-        spark.createDataFrame(
-            [(n_docs, (total_tokens / n_docs) if n_docs else 0.0,
-              total_tokens)],
-            "n_docs long, avgdl double, total_tokens long",
-        ),
+        _stats_row(spark, n_docs,
+                   (total_tokens / n_docs) if n_docs else 0.0, total_tokens),
         paths.stats, coalesce=1,
     )
     # termstats from the rewritten blocks' metadata (no binary reads)
@@ -369,10 +377,7 @@ def append_documents(
     n_docs = n_old + n_new
     total_tokens = tok_old + new_tokens
     writer.overwrite(
-        spark.createDataFrame(
-            [(n_docs, total_tokens / n_docs, total_tokens)],
-            "n_docs long, avgdl double, total_tokens long",
-        ),
+        _stats_row(spark, n_docs, total_tokens / n_docs, total_tokens),
         paths.stats, coalesce=1,
     )
     # termstats from block metadata only (column-pruned scan; no binary
