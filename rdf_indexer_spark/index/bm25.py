@@ -1012,41 +1012,42 @@ class IndexReader:
         terms with no candidate within ``max_dist`` stay as typed (they
         simply match nothing, like Solr serving the raw collation).
 
-        Scale shape: ONE termstats scan answers df-presence for all query
-        terms, and ONE more resolves every unknown term's top suggestion
-        at once (the tiny unknown-term list is broadcast against the
-        dictionary scan, length-band + distance filtered, window top-1
-        per input) — the job count stays 2 + the search regardless of how
-        many typos the query carries. The corrected query runs the normal
-        distributed walk."""
-        from pyspark.sql import Window
-
+        Scale shape: ONE termstats scan answers BOTH df-presence for every
+        query term AND each term's top suggestion ((dist asc, df desc,
+        term asc) as a lexicographic struct-min; the tiny query-term list
+        is broadcast against the dictionary scan, length-band + distance
+        filtered) — one metadata job + the search regardless of how many
+        typos the query carries. Suggestions are applied only to terms the
+        presence bit marks unknown, so the rewrite is identical to the
+        two-scan formulation."""
         toks = tokenize(query)
         uniq = sorted(set(toks))
-        dfs = self.term_dfs(uniq)
-        unknown = [t for t in uniq if dfs.get(t, 0) == 0]
         repl: dict[str, str] = {}
-        if unknown:
+        if uniq:
             cand = self.spark.createDataFrame(
-                [(t,) for t in unknown], "input string")
-            ts = self._read(self.paths.termstats).select(
-                "term", "df")
-            w = Window.partitionBy("input").orderBy(
-                F.asc("dist"), F.desc("df"), F.asc("term"))
-            best = (
-                ts.crossJoin(F.broadcast(cand))
-                .filter(
-                    (F.abs(F.length("term") - F.length("input")) <= max_dist)
-                    & (F.col("term") != F.col("input"))
-                    & (F.col("df") >= 1)
-                )
-                .withColumn("dist", F.levenshtein("term", "input"))
-                .filter(F.col("dist") <= max_dist)
-                .withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") == 1)
-                .select("input", "term")
-            )
-            repl = {r["input"]: r["term"] for r in best.collect()}
+                [(t,) for t in uniq], "input string")
+            ts = self._read(self.paths.termstats).select("term", "df")
+            pair = ts.crossJoin(F.broadcast(cand)).filter(
+                (F.col("term") == F.col("input"))
+                | ((F.abs(F.length("term") - F.length("input")) <= max_dist)
+                   & (F.col("df") >= 1))
+            ).withColumn(
+                "dist",
+                F.when(F.col("term") == F.col("input"), F.lit(-1))
+                .otherwise(F.levenshtein("term", "input")),
+            ).filter(F.col("dist") <= max_dist)
+            rows = pair.groupBy("input").agg(
+                F.max(F.when(F.col("dist") == -1, 1).otherwise(0))
+                .alias("present"),
+                # lexicographic struct-min == (dist asc, df desc, term asc)
+                F.min(F.when(F.col("dist") >= 0, F.struct(
+                    "dist", (-F.col("df")).alias("ndf"), "term")))
+                .alias("best"),
+            ).collect()
+            repl = {
+                r["input"]: r["best"]["term"] for r in rows
+                if not r["present"] and r["best"] is not None
+            }
         collated = " ".join(repl.get(t, t) for t in toks)
         hits = self.search_wand_distributed(collated, k, mode=mode,
                                             where=where)
